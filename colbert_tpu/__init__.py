@@ -1,0 +1,36 @@
+"""colbert_tpu — a TPU-native late-interaction (ColBERTv2-style) retrieval engine.
+
+From-scratch JAX/XLA/Pallas implementation with the capability contract of the
+reference ColBERT.jl (see SURVEY.md): offline indexing (BERT+linear encoder,
+k-means centroids, nbits-quantized residuals over an IVF) and query-time
+MaxSim retrieval — redesigned TPU-first (static shapes, fused jitted kernels,
+mesh-sharded build and search).
+
+Public API mirrors the reference's six exports (reference: src/ColBERT.jl:21-40):
+``ColBERTConfig``, ``Indexer``, ``index``, ``Searcher``, ``search``.
+"""
+
+from colbert_tpu.config import ColBERTConfig
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ColBERTConfig",
+    "Indexer",
+    "index",
+    "Searcher",
+    "search",
+    "__version__",
+]
+
+
+def __getattr__(name):  # lazy: keep `import colbert_tpu` light for ops-only use
+    if name in ("Indexer", "index"):
+        from colbert_tpu.indexing.builder import Indexer, index
+
+        return {"Indexer": Indexer, "index": index}[name]
+    if name in ("Searcher", "search"):
+        from colbert_tpu.search.searcher import Searcher, search
+
+        return {"Searcher": Searcher, "search": search}[name]
+    raise AttributeError(f"module 'colbert_tpu' has no attribute {name!r}")

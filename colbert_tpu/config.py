@@ -1,0 +1,111 @@
+"""ColBERT configuration.
+
+TPU-native analogue of the reference's single ``ColBERTConfig`` kwdef struct
+(reference: src/infra/config.jl:54-90). Same capability contract — run /
+tokenization / resource / doc / query / indexing / search settings with the
+same defaults — plus TPU-specific knobs (mesh shape, dtypes, pallas toggles)
+the single-GPU reference does not have.
+
+Unlike the reference's JSON loader (src/loaders.jl:66-74, which ``eval``s
+kwargs — a wart we deliberately do not copy), (de)serialization here is a
+plain dataclass <-> dict mapping with unknown-key tolerance for forward
+compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class ColBERTConfig:
+    # -- run settings (reference config.jl:57-63) --
+    use_gpu: bool = True  # kept for config parity; on TPU this toggles device vs cpu jax backend
+    rank: int = 0
+    nranks: int = 1
+
+    # -- tokenization settings (reference config.jl:64-70) --
+    query_token_id: str = "[unused0]"
+    doc_token_id: str = "[unused1]"
+    query_token: str = "[Q]"
+    doc_token: str = "[D]"
+
+    # -- resource settings (reference config.jl:71-76) --
+    checkpoint: str = "colbert-ir/colbertv2.0"
+    collection: str = ""
+    index_path: str = ""
+
+    # -- doc settings (reference config.jl:72) --
+    dim: int = 128
+    doc_maxlen: int = 300
+    mask_punctuation: bool = True
+
+    # -- query settings (reference config.jl:76-78) --
+    query_maxlen: int = 32
+    attend_to_mask_tokens: bool = False
+
+    # -- indexing settings (reference config.jl:79-87) --
+    index_bsize: int = 64
+    chunksize: int | None = None
+    passages_batch_size: int = 5000
+    nbits: int = 2
+    kmeans_niters: int = 20
+
+    # -- search settings (reference config.jl:88-89) --
+    nprobe: int = 2
+    ncandidates: int = 8192
+
+    # -- TPU-native settings (no reference equivalent) --
+    # dtype used for encoder activations; params are kept fp32 and cast in.
+    activation_dtype: str = "bfloat16"
+    # mesh axis sizes; data axis shards batches/collection, model axis reserved
+    # for tensor parallelism of the encoder (dense/attention head sharding).
+    mesh_data_axis: int = -1  # -1 => all available devices
+    mesh_model_axis: int = 1
+    # use the pallas fused kernels on TPU (auto-disabled on cpu backend)
+    use_pallas: bool = True
+    # length bucketing for doc encoding: pad each batch up to the next multiple
+    # of this, bounded by doc_maxlen, to limit recompilation while avoiding
+    # always padding to doc_maxlen.
+    length_bucket: int = 64
+    # staged PLAID-style pruning: number of candidate passages kept after the
+    # approximate (centroid-only) scoring stage. The reference defines
+    # `ncandidates` but never uses it (SURVEY §3.4); here it is meaningful.
+    use_plaid_pruning: bool = True
+    centroid_score_threshold: float = 0.45
+
+    def __post_init__(self) -> None:
+        if self.dim % 8 != 0:
+            raise ValueError("dim must be a multiple of 8 (bit-packed residuals)")
+        if self.nbits not in (1, 2, 4, 8):
+            raise ValueError("nbits must be one of 1, 2, 4, 8")
+        if self.query_maxlen < 3:
+            raise ValueError("query_maxlen must be >= 3 ([CLS] [Q] + content)")
+        if self.doc_maxlen < 3:
+            raise ValueError("doc_maxlen must be >= 3 ([CLS] [D] + content)")
+
+    # -- (de)serialization: plain JSON, field-name keyed --
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ColBERTConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    def save(self, path: str) -> None:
+        """Write config.json (reference: src/savers.jl:110-121)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, sort_keys=True)
+
+    @classmethod
+    def load(cls, path: str) -> "ColBERTConfig":
+        """Read config.json (reference: src/loaders.jl:66-74, minus the eval)."""
+        with open(path) as f:
+            return cls.from_dict(json.load(f))

@@ -1,0 +1,158 @@
+"""Batched Lloyd's k-means, jitted and shardable.
+
+TPU-native re-design of the reference's single-GPU one-hot k-means
+(reference: src/utils.jl:253-318 ``kmeans_gpu_onehot!`` and its four
+sub-kernels at utils.jl:38-89). Differences, deliberately:
+
+  - assignment and accumulation are fused into one ``lax.scan`` over
+    fixed-size chunks (single pass over the data per iteration; the
+    ``(chunk, k)`` score tile is the only large intermediate),
+  - the centroid update uses scatter-add (``.at[assign].add``) instead of the
+    reference's one-hot matmul (utils.jl:61-69,81-89) — no ``(n, k)`` one-hot
+    materialization,
+  - distances use the max of ``2·x·c - ‖c‖²`` (equivalent argmin of squared
+    distance; ``‖x‖²`` is constant per point, reference computes it anyway at
+    utils.jl:38-59),
+  - the per-iteration statistics ``(sums, counts)`` are the *only* thing a
+    multi-device run has to combine, so the distributed version (see
+    :mod:`colbert_tpu.parallel.kmeans_dist`) is this same step under
+    ``shard_map`` + ``psum`` over the data axis.
+
+Convergence matches the reference: stop when ``max|Δcentroid| < tol``
+(utils.jl:301-311, tol=1e-4) or after ``niters`` iterations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["KMeansResult", "lloyd_stats", "lloyd_step", "assign_clusters", "kmeans"]
+
+
+class KMeansResult(NamedTuple):
+    centroids: jax.Array  # (k, dim) float32
+    assignments: jax.Array  # (n,) int32
+    iterations: int
+    shift: float  # final max-abs centroid delta
+
+
+@functools.partial(jax.jit, static_argnames=("bsize",))
+def assign_clusters(
+    data: jax.Array, centroids: jax.Array, *, bsize: int = 1024
+) -> jax.Array:
+    """argmin_c ‖x - c‖² per row of ``data``, chunked over rows.
+
+    Reference: utils.jl:71-79 (argmin assignment kernel).
+    """
+    n, dim = data.shape
+    nchunks = max(1, -(-n // bsize))
+    padded = nchunks * bsize
+    data_p = jnp.pad(data, ((0, padded - n), (0, 0))).reshape(nchunks, bsize, dim)
+    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=-1)  # (k,)
+    ct = centroids.T.astype(jnp.float32)
+
+    def one(chunk):
+        scores = 2.0 * jnp.dot(
+            chunk.astype(jnp.float32), ct, preferred_element_type=jnp.float32
+        ) - c_sq
+        return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+    return jax.lax.map(one, data_p).reshape(padded)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bsize"))
+def lloyd_stats(
+    data: jax.Array, centroids: jax.Array, *, k: int, bsize: int = 1024
+) -> Tuple[jax.Array, jax.Array]:
+    """One pass over ``data``: per-cluster (sum, count) under current centroids.
+
+    This is the local/shardable part of a Lloyd iteration: a multi-device run
+    ``psum``s these over the data axis before the divide.
+    """
+    n, dim = data.shape
+    nchunks = max(1, -(-n // bsize))
+    padded = nchunks * bsize
+    data_p = jnp.pad(data, ((0, padded - n), (0, 0))).reshape(nchunks, bsize, dim)
+    # padded rows get weight 0 so they don't perturb cluster 0
+    valid = (jnp.arange(padded) < n).astype(jnp.float32).reshape(nchunks, bsize)
+    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=-1)
+    ct = centroids.T.astype(jnp.float32)
+
+    def body(carry, inp):
+        sums, counts = carry
+        chunk, w = inp
+        scores = 2.0 * jnp.dot(
+            chunk.astype(jnp.float32), ct, preferred_element_type=jnp.float32
+        ) - c_sq
+        assign = jnp.argmax(scores, axis=-1)
+        sums = sums.at[assign].add(chunk.astype(jnp.float32) * w[:, None])
+        counts = counts.at[assign].add(w)
+        return (sums, counts), None
+
+    init = (
+        jnp.zeros((k, dim), jnp.float32),
+        jnp.zeros((k,), jnp.float32),
+    )
+    (sums, counts), _ = jax.lax.scan(body, init, (data_p, valid))
+    return sums, counts
+
+
+def centroids_from_stats(
+    sums: jax.Array, counts: jax.Array, old_centroids: jax.Array
+) -> jax.Array:
+    """sums/counts with empty clusters keeping their previous centroid."""
+    safe = jnp.maximum(counts, 1.0)[:, None]
+    new = sums / safe
+    return jnp.where(counts[:, None] > 0, new, old_centroids.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bsize"))
+def lloyd_step(
+    data: jax.Array, centroids: jax.Array, *, k: int, bsize: int = 1024
+) -> Tuple[jax.Array, jax.Array]:
+    """One full Lloyd iteration -> (new_centroids, max-abs shift)."""
+    sums, counts = lloyd_stats(data, centroids, k=k, bsize=bsize)
+    new = centroids_from_stats(sums, counts, centroids)
+    shift = jnp.max(jnp.abs(new - centroids.astype(jnp.float32)))
+    return new, shift
+
+
+def init_centroids(data: jax.Array, k: int, key: jax.Array) -> jax.Array:
+    """Random-row init (reference: utils.jl:260-261 samples data columns)."""
+    n = data.shape[0]
+    if k > n:
+        raise ValueError(f"k={k} > number of points n={n}")
+    idx = jax.random.permutation(key, n)[:k]
+    return data[idx].astype(jnp.float32)
+
+
+def kmeans(
+    data: jax.Array,
+    k: int,
+    *,
+    niters: int = 20,
+    tol: float = 1e-4,
+    seed: int = 0,
+    bsize: int = 1024,
+) -> KMeansResult:
+    """Full k-means fit (single host / single device or auto-sharded by jit).
+
+    Reference: utils.jl:253-318. The iteration loop runs in Python with a
+    host-side convergence check (niters is small; each jitted step is the
+    expensive part), matching the reference's early-exit semantics.
+    """
+    key = jax.random.PRNGKey(seed)
+    centroids = init_centroids(data, k, key)
+    shift = float("inf")
+    it = 0
+    for it in range(1, niters + 1):
+        centroids, shift_arr = lloyd_step(data, centroids, k=k, bsize=bsize)
+        shift = float(shift_arr)
+        if shift < tol:
+            break
+    assignments = assign_clusters(data, centroids, bsize=bsize)
+    return KMeansResult(centroids, assignments, it, shift)
