@@ -1,0 +1,99 @@
+"""ColBERT encoder: BERT + linear projection head + embedding post-processing.
+
+Reference semantics (src/modelling/checkpoint.jl):
+  - ``doc()`` = ``linear(bert(ids, mask))`` -> per-token ``dim`` embeddings
+    (checkpoint.jl:21-25),
+  - doc pipeline: zero skiplist-token embeddings (punctuation + pad),
+    L2-normalize, doclens = attended-token counts (checkpoint.jl:27-52),
+  - query pipeline: zero pad embeddings, L2-normalize, keep the fixed
+    ``(query_maxlen, dim)`` shape (checkpoint.jl:54-71).
+
+TPU-first deviations: the forward is one jitted program (no per-batch GPU->CPU
+staging, the reference's measured bottleneck — SURVEY §3.5); outputs stay
+fixed-shape ``(B, L, dim)`` + a keep-mask, and flattening/compaction happens
+host-side in numpy (XLA static shapes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colbert_tpu.models.bert import BertConfig, BertParams, bert_encode, init_bert_params
+
+__all__ = [
+    "ColBERTParams",
+    "init_colbert_params",
+    "encode_batch",
+    "compact_doc_embeddings",
+]
+
+ColBERTParams = Dict[str, Any]  # {"bert": BertParams, "linear": {"kernel", "bias"?}}
+
+
+def init_colbert_params(
+    key: jax.Array, cfg: BertConfig, dim: int = 128, *, linear_bias: bool = False
+) -> ColBERTParams:
+    """Random ColBERT params (BERT + hidden->dim head) for tests/benchmarks."""
+    kb, kl = jax.random.split(key)
+    linear = {"kernel": 0.02 * jax.random.normal(kl, (cfg.hidden_size, dim), jnp.float32)}
+    if linear_bias:
+        linear["bias"] = jnp.zeros((dim,), jnp.float32)
+    return {"bert": init_bert_params(kb, cfg), "linear": linear}
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype_name"))
+def encode_batch(
+    params: ColBERTParams,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    keep_mask: jax.Array,
+    *,
+    cfg: BertConfig,
+    dtype_name: str = "bfloat16",
+) -> jax.Array:
+    """Shared doc/query forward -> normalized fp32 embeddings ``(B, L, dim)``.
+
+    ``keep_mask`` selects which token positions survive: for docs it is
+    ``attention_mask & ~skiplist(ids)`` (punctuation/pad removal,
+    reference: embedding_utils.jl:172-193); for queries it covers all
+    positions except pads-that-weren't-MASK-augmented (in practice: all).
+    Positions outside ``keep_mask`` are zeroed *before* normalization, so
+    kept embeddings are unit-norm and dropped ones are exactly zero.
+    """
+    hidden = bert_encode(
+        params["bert"], input_ids, attention_mask, cfg=cfg, dtype_name=dtype_name
+    )
+    lin = params["linear"]
+    emb = jnp.dot(hidden.astype(jnp.float32), lin["kernel"])
+    if "bias" in lin:
+        emb = emb + lin["bias"]
+    emb = emb * keep_mask[..., None]
+    norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb / jnp.maximum(norm, 1e-12)
+
+
+def skiplist_keep_mask(ids: np.ndarray, mask: np.ndarray, skiplist: list[int]) -> np.ndarray:
+    """Host-side keep-mask: attended positions whose token id is not skipped."""
+    if not skiplist:
+        return mask.copy()
+    return mask & ~np.isin(ids, np.asarray(skiplist, dtype=ids.dtype))
+
+
+def compact_doc_embeddings(
+    emb: np.ndarray, keep: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop masked token positions -> (flat (sum(doclens), dim), doclens (B,)).
+
+    Host-side analogue of the reference's ``_flatten_embeddings`` +
+    ``_remove_masked_tokens`` (embedding_utils.jl:195-205); doclens are the
+    per-passage surviving-token counts (checkpoint.jl:40-45).
+    """
+    doclens = keep.sum(axis=1).astype(np.int64)
+    flat = emb[keep]
+    return np.ascontiguousarray(flat), doclens
