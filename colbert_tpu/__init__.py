@@ -30,7 +30,7 @@ def __getattr__(name):  # lazy: keep `import colbert_tpu` light for ops-only use
 
         return {"Indexer": Indexer, "index": index}[name]
     if name in ("Searcher", "search"):
-        from colbert_tpu.search.searcher import Searcher, search
+        from colbert_tpu.retrieval.searcher import Searcher, search
 
         return {"Searcher": Searcher, "search": search}[name]
     raise AttributeError(f"module 'colbert_tpu' has no attribute {name!r}")

@@ -1,0 +1,208 @@
+"""Index builder: the full offline indexing pipeline.
+
+Reference: src/indexing.jl:24-147 (``Indexer`` facade + ``index``) and
+src/indexing/collection_indexer.jl (sampling, setup, train, chunked build,
+IVF). Same phases, same persisted artifact set (see
+:mod:`colbert_tpu.storage.format`), with TPU-first changes:
+
+  - encode/compress run as jitted device programs via
+    :class:`colbert_tpu.models.encoder.ColBERTEncoder` (length-bucketed
+    batches, no per-batch host cat),
+  - chunk builds are *resumable*: a chunk whose four artifacts exist is
+    skipped (the reference only skips whole existing indexes,
+    indexing.jl:64-67),
+  - the IVF is built from in-memory codes without re-reading chunks when the
+    build just wrote them.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from colbert_tpu.config import ColBERTConfig
+from colbert_tpu.indexing.codec_trainer import train_codec
+from colbert_tpu.indexing.planner import heldout_split, sample_pids, setup_plan
+from colbert_tpu.models.encoder import ColBERTEncoder
+from colbert_tpu.ops import codec as codec_ops
+from colbert_tpu.storage import format as fmt
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Indexer", "index", "load_collection", "build_ivf"]
+
+
+def load_collection(path_or_list) -> list[str]:
+    """Collection input: list of passages, or a file path.
+
+    ``.tsv`` files use the LoTTe/MS MARCO convention ``pid\\ttext[\\t...]``
+    (reference example: examples/indexing.jl reads sample_collection.tsv);
+    other files are one passage per line (reference: indexing.jl:28-29).
+    """
+    if isinstance(path_or_list, (list, tuple)):
+        return list(path_or_list)
+    passages = []
+    is_tsv = str(path_or_list).endswith(".tsv")
+    with open(path_or_list, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            passages.append(line.split("\t", 2)[1] if is_tsv else line)
+    return passages
+
+
+def build_ivf(codes: np.ndarray, num_partitions: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverted file: embedding ids grouped by centroid code.
+
+    Reference: collection_indexer.jl:349-353 ``_build_ivf`` —
+    ``ivf = sortperm(codes)``, ``ivf_lengths = counts per centroid``.
+    """
+    ivf = np.argsort(codes, kind="stable").astype(np.int64)
+    ivf_lengths = np.bincount(codes.astype(np.int64), minlength=num_partitions).astype(
+        np.int32
+    )
+    return ivf, ivf_lengths
+
+
+@dataclass
+class Indexer:
+    """Loads the model + collection, then ``indexer.index(path)`` builds.
+
+    Construct either from ``config.checkpoint`` (a HF ColBERT checkpoint
+    dir) or by injecting a ready :class:`ColBERTEncoder` (tests/benchmarks
+    use deterministic random-weight encoders; no checkpoints ship with this
+    environment).
+    """
+
+    config: ColBERTConfig
+    encoder: ColBERTEncoder | None = None
+    collection: Sequence[str] | str | None = None
+
+    def __post_init__(self) -> None:
+        if self.encoder is None:
+            from colbert_tpu.models.hf_loader import load_checkpoint
+
+            bert_cfg, params, tokenizer = load_checkpoint(self.config.checkpoint)
+            self.encoder = ColBERTEncoder(params, bert_cfg, tokenizer, self.config)
+        self.passages = load_collection(
+            self.collection if self.collection is not None else self.config.collection
+        )
+
+    def index(self, index_path: str | None = None, *, overwrite: bool = False) -> str:
+        index_path = index_path or self.config.index_path
+        if not index_path:
+            raise ValueError("no index_path given (argument or config.index_path)")
+        if (
+            os.path.exists(os.path.join(index_path, "plan.json"))
+            and not overwrite
+            and not fmt.check_all_files_saved(index_path)
+        ):
+            logger.info("index at %s already complete; skipping", index_path)
+            return index_path
+        os.makedirs(index_path, exist_ok=True)
+        _build(self.config, self.encoder, self.passages, index_path)
+        return index_path
+
+
+def index(indexer: Indexer, index_path: str | None = None, **kw) -> str:
+    """Functional alias mirroring the reference's ``index(indexer)`` export."""
+    return indexer.index(index_path, **kw)
+
+
+def _build(
+    config: ColBERTConfig,
+    encoder: ColBERTEncoder,
+    passages: list[str],
+    index_path: str,
+) -> None:
+    t0 = time.time()
+    n = len(passages)
+    if n == 0:
+        raise ValueError("empty collection")
+    rng = np.random.default_rng(0)
+
+    # --- phase 1: sample + encode (collection_indexer.jl:56-91) ---
+    pids = sample_pids(n, rng)
+    logger.info("sampling %d/%d passages for clustering", len(pids), n)
+    sample_embs, sample_doclens = encoder.encode_passages(
+        [passages[p] for p in pids]
+    )
+    avg_doclen_est = float(sample_doclens.mean()) if len(sample_doclens) else 0.0
+    sample, heldout = heldout_split(sample_embs, rng)
+
+    # --- phase 2: plan (collection_indexer.jl:115-139) ---
+    plan = setup_plan(n, avg_doclen_est, sample.shape[0], config.chunksize, config.nranks)
+    if plan["num_partitions"] > sample.shape[0]:
+        plan["num_partitions"] = sample.shape[0]
+    fmt.save_plan(index_path, plan)
+    config.save(os.path.join(index_path, "config.json"))
+    logger.info(
+        "plan: %d chunks x %d, %d partitions, est %.0f embeddings",
+        plan["num_chunks"], plan["chunksize"], plan["num_partitions"],
+        plan["num_embeddings_est"],
+    )
+
+    # --- phase 3: codec training (collection_indexer.jl:219-237) ---
+    t = time.time()
+    centroids, cutoffs, weights, avg_residual = train_codec(
+        sample,
+        heldout,
+        num_partitions=plan["num_partitions"],
+        nbits=config.nbits,
+        kmeans_niters=config.kmeans_niters,
+    )
+    fmt.save_codec(index_path, centroids, cutoffs, weights, avg_residual)
+    logger.info("codec trained in %.1fs (avg_residual=%.4f)", time.time() - t, avg_residual)
+
+    # --- phase 4: chunked encode+compress (collection_indexer.jl:271-297) ---
+    centroids_dev = jnp.asarray(centroids)
+    cutoffs_dev = jnp.asarray(cutoffs)
+    chunksize = plan["chunksize"]
+    all_codes: list[np.ndarray] = []
+    for chunk_idx in range(plan["num_chunks"]):
+        lo = chunk_idx * chunksize
+        hi = min(n, lo + chunksize)
+        if fmt.chunk_is_complete(index_path, chunk_idx):
+            all_codes.append(fmt.load_chunk(index_path, chunk_idx)["codes"])
+            logger.info("chunk %d already complete; resumed", chunk_idx)
+            continue
+        t = time.time()
+        embs, doclens = encoder.encode_passages(passages[lo:hi])
+        codes, residuals = codec_ops.compress(
+            jnp.asarray(embs), centroids_dev, cutoffs_dev, nbits=config.nbits
+        )
+        codes = np.asarray(codes)
+        fmt.save_chunk(
+            index_path,
+            chunk_idx,
+            codes=codes,
+            residuals=np.asarray(residuals),
+            doclens=doclens,
+            passage_offset=lo,
+        )
+        all_codes.append(codes)
+        logger.info(
+            "chunk %d/%d: %d passages, %d embeddings in %.1fs",
+            chunk_idx + 1, plan["num_chunks"], hi - lo, codes.shape[0],
+            time.time() - t,
+        )
+
+    # --- phase 5: offsets + IVF (indexing.jl:119-143) ---
+    counts = [int(c.shape[0]) for c in all_codes]
+    plan["num_embeddings"] = int(sum(counts))
+    plan["embedding_offsets"] = np.cumsum([0] + counts[:-1]).tolist()
+    fmt.save_plan(index_path, plan)
+    ivf, ivf_lengths = build_ivf(np.concatenate(all_codes), plan["num_partitions"])
+    fmt.save_ivf(index_path, ivf, ivf_lengths)
+
+    missing = fmt.check_all_files_saved(index_path)
+    if missing:
+        raise RuntimeError(f"index build incomplete; missing {missing}")
+    logger.info("index built at %s in %.1fs", index_path, time.time() - t0)

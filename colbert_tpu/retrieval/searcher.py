@@ -1,0 +1,135 @@
+"""Searcher: load an index, answer queries.
+
+Reference: src/searching.jl:18-128 (``Searcher`` + ``search``). Load pulls
+the codec + all codes/residuals into memory (device-resident centroids and
+bucket weights; codes/residuals live in host RAM and the candidate slices are
+shipped per query — index-shards-in-HBM is the multi-chip path, see
+:mod:`colbert_tpu.parallel`). Queries run batched end-to-end:
+
+    encode -> probe centroids (device top-k) -> IVF gather (host CSR)
+    -> [optional PLAID centroid-only pruning] -> fused decompress+MaxSim
+    -> top-k
+
+The reference scores one query at a time and decompresses on CPU;
+``search_batch`` here is the first-class entry point.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from colbert_tpu.config import ColBERTConfig
+from colbert_tpu.models.encoder import ColBERTEncoder
+from colbert_tpu.retrieval import ranking
+from colbert_tpu.storage import format as fmt
+
+__all__ = ["Searcher", "search"]
+
+
+@dataclass
+class Searcher:
+    index_path: str
+    encoder: ColBERTEncoder | None = None
+    config: ColBERTConfig = None  # loaded from the index unless given
+
+    def __post_init__(self) -> None:
+        if self.config is None:
+            self.config = ColBERTConfig.load(os.path.join(self.index_path, "config.json"))
+        missing = fmt.check_all_files_saved(self.index_path)
+        if missing:
+            raise FileNotFoundError(f"incomplete index at {self.index_path}: {missing}")
+        if self.encoder is None:
+            from colbert_tpu.models.hf_loader import load_checkpoint
+
+            bert_cfg, params, tokenizer = load_checkpoint(self.config.checkpoint)
+            self.encoder = ColBERTEncoder(params, bert_cfg, tokenizer, self.config)
+
+        codec = fmt.load_codec(self.index_path)
+        self.centroids = jnp.asarray(codec["centroids"])
+        self.bucket_weights = jnp.asarray(codec["bucket_weights"])
+        self.avg_residual = codec["avg_residual"]
+        self.plan = fmt.load_plan(self.index_path)
+        self.ivf, self.ivf_lengths = fmt.load_ivf(self.index_path)
+        self.doclens = fmt.load_all_doclens(self.index_path)
+        self.codes = fmt.load_all_codes(self.index_path)
+        self.residuals = fmt.load_all_residuals(self.index_path)
+        self.emb2pid = ranking.build_emb2pid(self.doclens)
+        self.emb_offsets = np.concatenate(
+            [[0], np.cumsum(self.doclens[:-1])]
+        ).astype(np.int64) if len(self.doclens) else np.zeros((1,), np.int64)
+
+    # ------------------------------------------------------------------
+
+    def search(self, query: str, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (pids (k,), scores (k,)) for one query (reference searching.jl:93-128)."""
+        pids, scores = self.search_batch([query], k)
+        return pids[0], scores[0]
+
+    def search_batch(
+        self, queries: Sequence[str], k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched retrieval -> (pids (B, k), scores (B, k))."""
+        cfg = self.config
+        Q = jnp.asarray(self.encoder.encode_queries(list(queries)))  # (B, Lq, dim)
+        cells = np.asarray(
+            ranking.probe_centroids(Q, self.centroids, nprobe=cfg.nprobe)
+        )  # (B, Lq, nprobe)
+
+        B = len(queries)
+        out_pids = np.full((B, k), -1, np.int64)
+        out_scores = np.full((B, k), -np.inf, np.float32)
+        for b in range(B):
+            pids = ranking.candidate_pids(
+                cells[b], self.ivf, self.ivf_lengths, self.emb2pid
+            )
+            if len(pids) == 0:
+                continue
+            pids, scores = self._score_pids(Q[b : b + 1], pids)
+            order = np.argsort(-scores)[:k]
+            kk = len(order)
+            out_pids[b, :kk] = pids[order]
+            out_scores[b, :kk] = scores[order]
+        return out_pids, out_scores
+
+    # ------------------------------------------------------------------
+
+    def _score_pids(
+        self, Qb: jnp.ndarray, pids: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        cfg = self.config
+        # PLAID stage 1: centroid-only scores, keep top ncandidates
+        if cfg.use_plaid_pruning and len(pids) > cfg.ncandidates:
+            idx, mask = ranking.gather_padded(
+                pids, self.doclens, self.emb_offsets
+            )
+            approx = np.asarray(
+                ranking.score_approx(
+                    Qb, jnp.asarray(self.codes[idx]), jnp.asarray(mask), self.centroids
+                )
+            )[0, : len(pids)]
+            keep = np.argsort(-approx)[: cfg.ncandidates]
+            pids = pids[np.sort(keep)]
+
+        idx, mask = ranking.gather_padded(pids, self.doclens, self.emb_offsets)
+        scores = np.asarray(
+            ranking.score_full(
+                Qb,
+                jnp.asarray(self.codes[idx]),
+                jnp.asarray(self.residuals[idx]),
+                jnp.asarray(mask),
+                self.centroids,
+                self.bucket_weights,
+                nbits=cfg.nbits,
+            )
+        )[0, : len(pids)]
+        return pids, scores
+
+
+def search(searcher: Searcher, query: str, k: int = 10):
+    """Functional alias mirroring the reference's ``search`` export."""
+    return searcher.search(query, k)

@@ -1,0 +1,196 @@
+"""On-disk index format: chunked artifacts + JSON metadata.
+
+Same *logical* artifact set as the reference's JLD2 savers/loaders
+(reference: src/savers.jl:16-138, src/loaders.jl:10-140 and the
+completeness list at collection_indexer.jl:310-329):
+
+    config.json, plan.json,
+    centroids, bucket_cutoffs, bucket_weights, avg_residual,
+    per-chunk: {i}.codes, {i}.residuals, doclens.{i}, {i}.metadata.json,
+    ivf, ivf_lengths
+
+but stored as raw ``.npy`` arrays (mmap-able, zero-copy load into device
+transfer buffers) instead of JLD2. Chunk ids are 0-based (Julia's are
+1-based). Per-chunk artifacts are self-contained, so builds can resume at
+chunk granularity (the reference format supports this but never exploits it
+— SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterable, Tuple
+
+import numpy as np
+
+__all__ = [
+    "save_codec",
+    "load_codec",
+    "save_chunk",
+    "load_chunk",
+    "chunk_is_complete",
+    "save_plan",
+    "load_plan",
+    "save_ivf",
+    "load_ivf",
+    "load_all_doclens",
+    "load_all_codes",
+    "load_all_residuals",
+    "check_all_files_saved",
+    "chunk_file_names",
+]
+
+
+def save_codec(
+    index_path: str,
+    centroids: np.ndarray,
+    bucket_cutoffs: np.ndarray,
+    bucket_weights: np.ndarray,
+    avg_residual: float,
+) -> None:
+    """Reference: src/savers.jl:16-29 ``save_codec`` (4 artifacts)."""
+    os.makedirs(index_path, exist_ok=True)
+    np.save(os.path.join(index_path, "centroids.npy"), np.asarray(centroids, np.float32))
+    np.save(os.path.join(index_path, "bucket_cutoffs.npy"), np.asarray(bucket_cutoffs, np.float32))
+    np.save(os.path.join(index_path, "bucket_weights.npy"), np.asarray(bucket_weights, np.float32))
+    with open(os.path.join(index_path, "avg_residual.json"), "w") as f:
+        json.dump({"avg_residual": float(avg_residual)}, f)
+
+
+def load_codec(index_path: str) -> dict:
+    """Reference: src/loaders.jl:10-41 ``load_codec``."""
+    with open(os.path.join(index_path, "avg_residual.json")) as f:
+        avg = json.load(f)["avg_residual"]
+    return {
+        "centroids": np.load(os.path.join(index_path, "centroids.npy")),
+        "bucket_cutoffs": np.load(os.path.join(index_path, "bucket_cutoffs.npy")),
+        "bucket_weights": np.load(os.path.join(index_path, "bucket_weights.npy")),
+        "avg_residual": avg,
+    }
+
+
+def chunk_file_names(chunk_idx: int) -> list[str]:
+    return [
+        f"{chunk_idx}.codes.npy",
+        f"{chunk_idx}.residuals.npy",
+        f"doclens.{chunk_idx}.npy",
+        f"{chunk_idx}.metadata.json",
+    ]
+
+
+def save_chunk(
+    index_path: str,
+    chunk_idx: int,
+    *,
+    codes: np.ndarray,
+    residuals: np.ndarray,
+    doclens: np.ndarray,
+    passage_offset: int,
+) -> None:
+    """Reference: src/savers.jl:52-84 ``save_chunk``."""
+    np.save(os.path.join(index_path, f"{chunk_idx}.codes.npy"), np.asarray(codes, np.uint32))
+    np.save(os.path.join(index_path, f"{chunk_idx}.residuals.npy"), np.asarray(residuals, np.uint8))
+    np.save(os.path.join(index_path, f"doclens.{chunk_idx}.npy"), np.asarray(doclens, np.int32))
+    meta = {
+        "passage_offset": int(passage_offset),
+        "num_passages": int(len(doclens)),
+        "num_embeddings": int(codes.shape[0]),
+    }
+    with open(os.path.join(index_path, f"{chunk_idx}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def chunk_is_complete(index_path: str, chunk_idx: int) -> bool:
+    return all(
+        os.path.exists(os.path.join(index_path, n)) for n in chunk_file_names(chunk_idx)
+    )
+
+
+def load_chunk(index_path: str, chunk_idx: int, *, mmap: bool = False) -> dict:
+    mode = "r" if mmap else None
+    with open(os.path.join(index_path, f"{chunk_idx}.metadata.json")) as f:
+        meta = json.load(f)
+    return {
+        "codes": np.load(os.path.join(index_path, f"{chunk_idx}.codes.npy"), mmap_mode=mode),
+        "residuals": np.load(os.path.join(index_path, f"{chunk_idx}.residuals.npy"), mmap_mode=mode),
+        "doclens": np.load(os.path.join(index_path, f"doclens.{chunk_idx}.npy")),
+        "metadata": meta,
+    }
+
+
+def save_plan(index_path: str, plan: dict) -> None:
+    with open(os.path.join(index_path, "plan.json"), "w") as f:
+        json.dump(plan, f, indent=2, sort_keys=True)
+
+
+def load_plan(index_path: str) -> dict:
+    with open(os.path.join(index_path, "plan.json")) as f:
+        return json.load(f)
+
+
+def save_ivf(index_path: str, ivf: np.ndarray, ivf_lengths: np.ndarray) -> None:
+    np.save(os.path.join(index_path, "ivf.npy"), np.asarray(ivf, np.int64))
+    np.save(os.path.join(index_path, "ivf_lengths.npy"), np.asarray(ivf_lengths, np.int32))
+
+
+def load_ivf(index_path: str) -> Tuple[np.ndarray, np.ndarray]:
+    return (
+        np.load(os.path.join(index_path, "ivf.npy")),
+        np.load(os.path.join(index_path, "ivf_lengths.npy")),
+    )
+
+
+def _num_chunks(index_path: str) -> int:
+    return int(load_plan(index_path)["num_chunks"])
+
+
+def load_all_doclens(index_path: str) -> np.ndarray:
+    """Concatenated doclens over chunks (reference: loaders.jl:76-89)."""
+    parts = [
+        np.load(os.path.join(index_path, f"doclens.{i}.npy"))
+        for i in range(_num_chunks(index_path))
+    ]
+    return np.concatenate(parts) if parts else np.zeros((0,), np.int32)
+
+
+def load_all_codes(index_path: str) -> np.ndarray:
+    parts = [
+        np.load(os.path.join(index_path, f"{i}.codes.npy"))
+        for i in range(_num_chunks(index_path))
+    ]
+    return np.concatenate(parts) if parts else np.zeros((0,), np.uint32)
+
+
+def load_all_residuals(index_path: str) -> np.ndarray:
+    """All packed residuals in one matrix (reference: loaders.jl:91-113)."""
+    parts = [
+        np.load(os.path.join(index_path, f"{i}.residuals.npy"))
+        for i in range(_num_chunks(index_path))
+    ]
+    return np.concatenate(parts, axis=0)
+
+
+def check_all_files_saved(index_path: str) -> list[str]:
+    """Post-build integrity scan -> list of missing files (empty == OK).
+
+    Reference: collection_indexer.jl:299-340 ``_check_all_files_are_saved``.
+    """
+    required = [
+        "config.json",
+        "plan.json",
+        "centroids.npy",
+        "bucket_cutoffs.npy",
+        "bucket_weights.npy",
+        "avg_residual.json",
+        "ivf.npy",
+        "ivf_lengths.npy",
+    ]
+    try:
+        n = _num_chunks(index_path)
+    except FileNotFoundError:
+        return ["plan.json"]
+    for i in range(n):
+        required.extend(chunk_file_names(i))
+    return [f for f in required if not os.path.exists(os.path.join(index_path, f))]

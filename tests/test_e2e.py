@@ -1,0 +1,130 @@
+"""End-to-end integration: build an index from synthetic passages with a
+deterministic random-weight encoder, then search it — the test the reference
+lacks entirely (its model paths are only exercised by out-of-CI examples,
+SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from colbert_tpu.config import ColBERTConfig
+from colbert_tpu.indexing.builder import Indexer, load_collection
+from colbert_tpu.retrieval.searcher import Searcher
+from colbert_tpu.storage import format as fmt
+from colbert_tpu.utils.testing import make_encoder, synthetic_collection
+
+
+@pytest.fixture(scope="module")
+def built_index(tmp_path_factory):
+    cfg = ColBERTConfig(
+        dim=32, doc_maxlen=64, query_maxlen=16, index_bsize=8, length_bucket=16,
+        chunksize=16, nbits=2, kmeans_niters=6, nprobe=4,
+    )
+    encoder = make_encoder(dim=32, seed=0, config=cfg)
+    passages = synthetic_collection(40, seed=1)
+    path = str(tmp_path_factory.mktemp("index") / "idx")
+    indexer = Indexer(cfg, encoder=encoder, collection=passages)
+    indexer.index(path)
+    return cfg, encoder, passages, path
+
+
+def test_all_files_saved(built_index):
+    _, _, _, path = built_index
+    assert fmt.check_all_files_saved(path) == []
+
+
+def test_plan_consistency(built_index):
+    _, _, passages, path = built_index
+    plan = fmt.load_plan(path)
+    assert plan["num_documents"] == len(passages)
+    assert plan["num_chunks"] == -(-len(passages) // plan["chunksize"])
+    doclens = fmt.load_all_doclens(path)
+    assert len(doclens) == len(passages)
+    assert plan["num_embeddings"] == int(doclens.sum())
+    codes = fmt.load_all_codes(path)
+    assert codes.shape[0] == plan["num_embeddings"]
+    ivf, ivf_lengths = fmt.load_ivf(path)
+    assert ivf_lengths.sum() == len(ivf) == len(codes)
+
+
+def test_search_exact_vs_bruteforce(built_index):
+    """Search scores must equal brute-force MaxSim over the *decompressed*
+    index restricted to the candidate set."""
+    cfg, encoder, passages, path = built_index
+    searcher = Searcher(path, encoder=encoder)
+    from colbert_tpu.ops import codec as codec_ops
+    import jax.numpy as jnp
+
+    embs = np.asarray(codec_ops.decompress(
+        jnp.asarray(searcher.codes), jnp.asarray(searcher.residuals),
+        searcher.centroids, searcher.bucket_weights, nbits=cfg.nbits,
+    ))
+    offsets = searcher.emb_offsets
+    doclens = searcher.doclens
+
+    queries = [passages[3], passages[17], "the dog runs fast"]
+    pids_out, scores_out = searcher.search_batch(queries, k=5)
+    Q = encoder.encode_queries(queries)
+    for b, _ in enumerate(queries):
+        for rank in range(5):
+            pid, got = pids_out[b, rank], scores_out[b, rank]
+            if pid < 0:
+                continue
+            off, dl = offsets[pid], doclens[pid]
+            s = Q[b] @ embs[off:off + dl].T
+            want = s.max(axis=1).sum()
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        # ranking is descending
+        valid = scores_out[b][pids_out[b] >= 0]
+        assert (np.diff(valid) <= 1e-6).all()
+
+
+def test_self_retrieval(built_index):
+    """Querying with a passage's own text should rank that passage highly
+    (truncated to query_maxlen, so allow top-3)."""
+    cfg, encoder, passages, path = built_index
+    searcher = Searcher(path, encoder=encoder)
+    hits = 0
+    probe = [0, 5, 11, 23, 37]
+    for pid in probe:
+        pids, _ = searcher.search(passages[pid], k=3)
+        if pid in pids:
+            hits += 1
+    assert hits >= 4, f"self-retrieval hits {hits}/5"
+
+
+def test_search_single_equals_batch(built_index):
+    cfg, encoder, passages, path = built_index
+    searcher = Searcher(path, encoder=encoder)
+    p1, s1 = searcher.search(passages[7], k=4)
+    pb, sb = searcher.search_batch([passages[7], passages[2]], k=4)
+    np.testing.assert_array_equal(p1, pb[0])
+    np.testing.assert_allclose(s1, sb[0], rtol=1e-5)
+
+
+def test_resume_skips_complete_chunks(built_index, tmp_path):
+    cfg, encoder, passages, path = built_index
+    # removing one chunk's artifacts and rebuilding only rebuilds that chunk
+    import os, shutil
+
+    path2 = str(tmp_path / "idx2")
+    shutil.copytree(path, path2)
+    os.remove(os.path.join(path2, "1.codes.npy"))
+    before = fmt.load_chunk(path2, 0)["codes"].copy()
+    indexer = Indexer(cfg, encoder=encoder, collection=passages)
+    indexer.index(path2)
+    assert fmt.check_all_files_saved(path2) == []
+    np.testing.assert_array_equal(fmt.load_chunk(path2, 0)["codes"], before)
+    # chunk 1 was rebuilt identically (deterministic pipeline)
+    np.testing.assert_array_equal(
+        fmt.load_chunk(path2, 1)["codes"], fmt.load_chunk(path, 1)["codes"]
+    )
+
+
+def test_load_collection_tsv(tmp_path):
+    p = tmp_path / "coll.tsv"
+    p.write_text("1\tfirst passage\n2\tsecond passage\ttitle\n")
+    assert load_collection(str(p)) == ["first passage", "second passage"]
+    p2 = tmp_path / "coll.txt"
+    p2.write_text("line one\nline two\n")
+    assert load_collection(str(p2)) == ["line one", "line two"]
+    assert load_collection(["a", "b"]) == ["a", "b"]
