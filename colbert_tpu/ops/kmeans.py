@@ -66,19 +66,29 @@ def assign_clusters(
 
 @functools.partial(jax.jit, static_argnames=("k", "bsize"))
 def lloyd_stats(
-    data: jax.Array, centroids: jax.Array, *, k: int, bsize: int = 1024
+    data: jax.Array,
+    centroids: jax.Array,
+    *,
+    k: int,
+    bsize: int = 1024,
+    weights: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One pass over ``data``: per-cluster (sum, count) under current centroids.
 
     This is the local/shardable part of a Lloyd iteration: a multi-device run
-    ``psum``s these over the data axis before the divide.
+    ``psum``s these over the data axis before the divide. ``weights`` marks
+    valid rows (0.0 = ignore) — used by the sharded path where per-device
+    shards carry global padding.
     """
     n, dim = data.shape
     nchunks = max(1, -(-n // bsize))
     padded = nchunks * bsize
     data_p = jnp.pad(data, ((0, padded - n), (0, 0))).reshape(nchunks, bsize, dim)
     # padded rows get weight 0 so they don't perturb cluster 0
-    valid = (jnp.arange(padded) < n).astype(jnp.float32).reshape(nchunks, bsize)
+    valid = (jnp.arange(padded) < n).astype(jnp.float32)
+    if weights is not None:
+        valid = valid * jnp.pad(weights.astype(jnp.float32), (0, padded - n))
+    valid = valid.reshape(nchunks, bsize)
     c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=-1)
     ct = centroids.T.astype(jnp.float32)
 

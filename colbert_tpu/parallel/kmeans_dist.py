@@ -1,0 +1,111 @@
+"""Sharded k-means: Lloyd's over a data-parallel mesh.
+
+SURVEY §2's TPU-native replacement table: per-device partial (centroid-sum,
+count) statistics + ``psum`` over the data axis; centroids stay replicated.
+Implemented with ``jax.shard_map`` so the collective placement is explicit
+(one psum pair per iteration — bytes ∝ k·dim, independent of data size).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from colbert_tpu.ops import kmeans as kmeans_ops
+from colbert_tpu.ops.kmeans import KMeansResult
+
+__all__ = ["kmeans_sharded", "lloyd_step_sharded", "assign_clusters_sharded"]
+
+
+def _sharded_step_fn(mesh: Mesh, k: int, bsize: int):
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P(), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(data_local, centroids, weights_local):
+        sums, counts = kmeans_ops.lloyd_stats(
+            data_local, centroids, k=k, bsize=bsize, weights=weights_local
+        )
+        sums = jax.lax.psum(sums, "data")
+        counts = jax.lax.psum(counts, "data")
+        new = kmeans_ops.centroids_from_stats(sums, counts, centroids)
+        shift = jnp.max(jnp.abs(new - centroids.astype(jnp.float32)))
+        return new, shift
+
+    return jax.jit(step)
+
+
+def lloyd_step_sharded(
+    data: jax.Array, centroids: jax.Array, weights: jax.Array, mesh: Mesh,
+    *, k: int, bsize: int = 1024,
+) -> Tuple[jax.Array, jax.Array]:
+    """One sharded Lloyd iteration. ``data``/``weights`` rows must divide the
+    data-axis size (pad + zero-weight the tail)."""
+    return _sharded_step_fn(mesh, k, bsize)(data, centroids, weights)
+
+
+def assign_clusters_sharded(
+    data: jax.Array, centroids: jax.Array, mesh: Mesh, *, bsize: int = 1024
+) -> jax.Array:
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P("data"), P()), out_specs=P("data"), check_vma=False
+    )
+    def assign(data_local, cents):
+        return kmeans_ops.assign_clusters(data_local, cents, bsize=bsize)
+
+    return jax.jit(assign)(data, centroids)
+
+
+def kmeans_sharded(
+    data: np.ndarray,
+    k: int,
+    mesh: Mesh,
+    *,
+    niters: int = 20,
+    tol: float = 1e-4,
+    seed: int = 0,
+    bsize: int = 1024,
+) -> KMeansResult:
+    """Full sharded k-means fit over ``mesh``'s data axis.
+
+    Matches :func:`colbert_tpu.ops.kmeans.kmeans` semantics (same init, same
+    convergence rule); the data is padded to the data-axis size with
+    zero-weight rows and placed sharded on device once.
+    """
+    n, dim = data.shape
+    ndev = mesh.shape["data"]
+    if k > n:
+        raise ValueError(f"k={k} > number of points n={n}")
+    padded = -(-n // ndev) * ndev
+    weights_np = np.zeros((padded,), np.float32)
+    weights_np[:n] = 1.0
+    data_np = np.zeros((padded, dim), np.float32)
+    data_np[:n] = data
+
+    data_sh = jax.device_put(data_np, NamedSharding(mesh, P("data")))
+    weights_sh = jax.device_put(weights_np, NamedSharding(mesh, P("data")))
+
+    key = jax.random.PRNGKey(seed)
+    idx = np.asarray(jax.random.permutation(key, n)[:k])
+    centroids = jax.device_put(
+        jnp.asarray(data[idx], jnp.float32), NamedSharding(mesh, P())
+    )
+
+    step = _sharded_step_fn(mesh, k, bsize)
+    shift = float("inf")
+    it = 0
+    for it in range(1, niters + 1):
+        centroids, shift_arr = step(data_sh, centroids, weights_sh)
+        shift = float(shift_arr)
+        if shift < tol:
+            break
+    assignments = assign_clusters_sharded(data_sh, centroids, mesh, bsize=bsize)
+    return KMeansResult(centroids, np.asarray(assignments)[:n], it, shift)
