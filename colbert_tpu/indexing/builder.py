@@ -32,6 +32,7 @@ from colbert_tpu.indexing.planner import heldout_split, sample_pids, setup_plan
 from colbert_tpu.models.encoder import ColBERTEncoder
 from colbert_tpu.ops import codec as codec_ops
 from colbert_tpu.storage import format as fmt
+from colbert_tpu.utils.tracing import Tracer
 
 logger = logging.getLogger(__name__)
 
@@ -127,20 +128,35 @@ def _build(
     if n == 0:
         raise ValueError("empty collection")
     rng = np.random.default_rng(0)
+    tracer = Tracer()
 
     # --- phase 1: sample + encode (collection_indexer.jl:56-91) ---
+    # TPU-native: sample embeddings stay device-resident (padded + validity
+    # weights) through codec training; nothing fp32-sized crosses the (slow)
+    # device<->host link.
     pids = sample_pids(n, rng)
     logger.info("sampling %d/%d passages for clustering", len(pids), n)
-    sample_embs, sample_doclens = encoder.encode_passages(
-        [passages[p] for p in pids]
-    )
+    with tracer.phase("sample_encode"):
+        sample_embs, sample_valid, sample_doclens = encoder.encode_passages_to_device(
+            [passages[p] for p in pids]
+        )
     avg_doclen_est = float(sample_doclens.mean()) if len(sample_doclens) else 0.0
-    sample, heldout = heldout_split(sample_embs, rng)
+
+    # heldout split over *valid* rows (collection_indexer.jl:81-91 semantics)
+    valid_idx = np.nonzero(sample_valid)[0]
+    perm = rng.permutation(len(valid_idx))
+    num_heldout = int(min(50_000, max(1, round(0.05 * len(valid_idx)))))
+    heldout_idx = valid_idx[perm[:num_heldout]]
+    train_idx = valid_idx[perm[num_heldout:]]
+    heldout = sample_embs[jnp.asarray(heldout_idx)]
+    train_weights = np.zeros(len(sample_valid), np.float32)
+    train_weights[train_idx] = 1.0
+    n_train = len(train_idx)
 
     # --- phase 2: plan (collection_indexer.jl:115-139) ---
-    plan = setup_plan(n, avg_doclen_est, sample.shape[0], config.chunksize, config.nranks)
-    if plan["num_partitions"] > sample.shape[0]:
-        plan["num_partitions"] = sample.shape[0]
+    plan = setup_plan(n, avg_doclen_est, n_train, config.chunksize, config.nranks)
+    if plan["num_partitions"] > n_train:
+        plan["num_partitions"] = n_train
     fmt.save_plan(index_path, plan)
     config.save(os.path.join(index_path, "config.json"))
     logger.info(
@@ -151,19 +167,27 @@ def _build(
 
     # --- phase 3: codec training (collection_indexer.jl:219-237) ---
     t = time.time()
-    centroids, cutoffs, weights, avg_residual = train_codec(
-        sample,
-        heldout,
-        num_partitions=plan["num_partitions"],
-        nbits=config.nbits,
-        kmeans_niters=config.kmeans_niters,
+    init_idx = rng.choice(train_idx, size=plan["num_partitions"], replace=False)
+    with tracer.phase("codec_train"):
+        centroids_dev, cutoffs_dev, weights_dev, avg_residual = train_codec(
+            sample_embs,
+            heldout,
+            num_partitions=plan["num_partitions"],
+            nbits=config.nbits,
+            kmeans_niters=config.kmeans_niters,
+            sample_weights=train_weights,
+            init_idx=jnp.asarray(init_idx),
+        )
+    fmt.save_codec(
+        index_path,
+        np.asarray(centroids_dev),
+        np.asarray(cutoffs_dev),
+        np.asarray(weights_dev),
+        avg_residual,
     )
-    fmt.save_codec(index_path, centroids, cutoffs, weights, avg_residual)
     logger.info("codec trained in %.1fs (avg_residual=%.4f)", time.time() - t, avg_residual)
 
-    # --- phase 4: chunked encode+compress (collection_indexer.jl:271-297) ---
-    centroids_dev = jnp.asarray(centroids)
-    cutoffs_dev = jnp.asarray(cutoffs)
+    # --- phase 4: fused encode+compress chunks (collection_indexer.jl:271-297) ---
     chunksize = plan["chunksize"]
     all_codes: list[np.ndarray] = []
     for chunk_idx in range(plan["num_chunks"]):
@@ -174,16 +198,15 @@ def _build(
             logger.info("chunk %d already complete; resumed", chunk_idx)
             continue
         t = time.time()
-        embs, doclens = encoder.encode_passages(passages[lo:hi])
-        codes, residuals = codec_ops.compress(
-            jnp.asarray(embs), centroids_dev, cutoffs_dev, nbits=config.nbits
-        )
-        codes = np.asarray(codes)
+        with tracer.phase("chunk_encode_compress"):
+            codes, residuals, doclens = encoder.encode_passages_compressed(
+                passages[lo:hi], centroids_dev, cutoffs_dev, nbits=config.nbits
+            )
         fmt.save_chunk(
             index_path,
             chunk_idx,
             codes=codes,
-            residuals=np.asarray(residuals),
+            residuals=residuals,
             doclens=doclens,
             passage_offset=lo,
         )
@@ -198,9 +221,12 @@ def _build(
     counts = [int(c.shape[0]) for c in all_codes]
     plan["num_embeddings"] = int(sum(counts))
     plan["embedding_offsets"] = np.cumsum([0] + counts[:-1]).tolist()
+    with tracer.phase("build_ivf"):
+        ivf, ivf_lengths = build_ivf(np.concatenate(all_codes), plan["num_partitions"])
+        fmt.save_ivf(index_path, ivf, ivf_lengths)
+    plan["timings"] = tracer.as_dict()
+    plan["total_build_seconds"] = round(time.time() - t0, 3)
     fmt.save_plan(index_path, plan)
-    ivf, ivf_lengths = build_ivf(np.concatenate(all_codes), plan["num_partitions"])
-    fmt.save_ivf(index_path, ivf, ivf_lengths)
 
     missing = fmt.check_all_files_saved(index_path)
     if missing:

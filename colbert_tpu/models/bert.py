@@ -132,11 +132,32 @@ def _act(name: str):
 
 
 def _attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, mask_bias: jax.Array, num_heads: int
+    q: jax.Array, k: jax.Array, v: jax.Array, mask_bias: jax.Array, num_heads: int,
+    use_flash: bool = False,
 ) -> jax.Array:
-    """Multi-head attention, XLA path. Shapes: (B, S, H)."""
+    """Multi-head attention. Shapes: (B, S, H). ``use_flash`` routes through
+    the pallas online-softmax kernel (no (S, S) score materialization)."""
     B, S, H = q.shape
     hd = H // num_heads
+
+    if use_flash:
+        from colbert_tpu.ops.flash_attention import flash_attention
+
+        def split_flat(x):
+            return (
+                x.reshape(B, S, num_heads, hd)
+                .transpose(0, 2, 1, 3)
+                .reshape(B * num_heads, S, hd)
+            )
+
+        bias2d = mask_bias[:, 0, 0, :]  # (B, S)
+        out = flash_attention(
+            split_flat(q), split_flat(k), split_flat(v), bias2d,
+            num_heads=num_heads,
+        )
+        return (
+            out.reshape(B, num_heads, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
+        )
 
     def split(x):
         return x.reshape(B, S, num_heads, hd).transpose(0, 2, 1, 3)  # (B,h,S,hd)
@@ -151,7 +172,7 @@ def _attention(
     return out.transpose(0, 2, 1, 3).reshape(B, S, H).astype(q.dtype)
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype_name"))
+@partial(jax.jit, static_argnames=("cfg", "dtype_name", "use_flash"))
 def bert_encode(
     params: BertParams,
     input_ids: jax.Array,
@@ -159,12 +180,15 @@ def bert_encode(
     *,
     cfg: BertConfig,
     dtype_name: str = "bfloat16",
+    use_flash: bool = False,
 ) -> jax.Array:
     """Full BERT forward -> final hidden states ``(B, S, hidden)`` (dtype per
     ``dtype_name``; callers cast/normalize as needed).
 
     Equivalent to the reference's ``bert(tokens, mask).hidden_state``
-    (checkpoint.jl:21-25), but jitted with a ``lax.scan`` over stacked layers.
+    (checkpoint.jl:21-25), but jitted with a ``lax.scan`` over stacked
+    layers. ``use_flash`` requires the sequence length to be a multiple of
+    128 (the encoder's length buckets guarantee this when enabled).
     """
     dtype = jnp.dtype(dtype_name)
     B, S = input_ids.shape
@@ -189,7 +213,7 @@ def bert_encode(
             return jnp.dot(y, p["kernel"].astype(dtype)) + p["bias"].astype(dtype)
 
         q, k, v = d(lp["q"], x), d(lp["k"], x), d(lp["v"], x)
-        attn = _attention(q, k, v, mask_bias, nheads)
+        attn = _attention(q, k, v, mask_bias, nheads, use_flash=use_flash)
         attn = d(lp["attn_out"], attn)
         x = _layer_norm(x + attn, lp["attn_ln"]["scale"], lp["attn_ln"]["bias"], eps)
         h = act(d(lp["mlp_in"], x).astype(jnp.float32)).astype(dtype)

@@ -30,6 +30,7 @@ __all__ = [
     "ColBERTParams",
     "init_colbert_params",
     "encode_batch",
+    "encode_compress_batch",
     "compact_doc_embeddings",
 ]
 
@@ -47,7 +48,30 @@ def init_colbert_params(
     return {"bert": init_bert_params(kb, cfg), "linear": linear}
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype_name"))
+def _forward_normalized(
+    params: ColBERTParams,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    keep_mask: jax.Array,
+    *,
+    cfg: BertConfig,
+    dtype_name: str,
+    use_flash: bool = False,
+) -> jax.Array:
+    hidden = bert_encode(
+        params["bert"], input_ids, attention_mask, cfg=cfg, dtype_name=dtype_name,
+        use_flash=use_flash,
+    )
+    lin = params["linear"]
+    emb = jnp.dot(hidden.astype(jnp.float32), lin["kernel"])
+    if "bias" in lin:
+        emb = emb + lin["bias"]
+    emb = emb * keep_mask[..., None]
+    norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb / jnp.maximum(norm, 1e-12)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype_name", "use_flash"))
 def encode_batch(
     params: ColBERTParams,
     input_ids: jax.Array,
@@ -56,6 +80,7 @@ def encode_batch(
     *,
     cfg: BertConfig,
     dtype_name: str = "bfloat16",
+    use_flash: bool = False,
 ) -> jax.Array:
     """Shared doc/query forward -> normalized fp32 embeddings ``(B, L, dim)``.
 
@@ -66,16 +91,49 @@ def encode_batch(
     Positions outside ``keep_mask`` are zeroed *before* normalization, so
     kept embeddings are unit-norm and dropped ones are exactly zero.
     """
-    hidden = bert_encode(
-        params["bert"], input_ids, attention_mask, cfg=cfg, dtype_name=dtype_name
+    return _forward_normalized(
+        params, input_ids, attention_mask, keep_mask, cfg=cfg, dtype_name=dtype_name,
+        use_flash=use_flash,
     )
-    lin = params["linear"]
-    emb = jnp.dot(hidden.astype(jnp.float32), lin["kernel"])
-    if "bias" in lin:
-        emb = emb + lin["bias"]
-    emb = emb * keep_mask[..., None]
-    norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
-    return emb / jnp.maximum(norm, 1e-12)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype_name", "nbits", "use_flash"))
+def encode_compress_batch(
+    params: ColBERTParams,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    keep_mask: jax.Array,
+    centroids: jax.Array,
+    bucket_cutoffs: jax.Array,
+    *,
+    cfg: BertConfig,
+    dtype_name: str = "bfloat16",
+    nbits: int = 2,
+    use_flash: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused doc forward + residual compression, one device program.
+
+    -> (codes (B, L) uint32, packed residuals (B, L, dim//8*nbits) uint8).
+
+    TPU-native indexing hot path: the fp32 embeddings never leave the
+    device — only the ~14x smaller compressed artifacts do. (The reference
+    ships fp32 embeddings to the CPU per batch and compresses there —
+    checkpoint.jl:166-188 + residual.jl:586-604.) Masked positions produce
+    garbage codes; callers drop them via ``keep_mask``.
+    """
+    from colbert_tpu.ops import codec as codec_ops
+
+    emb = _forward_normalized(
+        params, input_ids, attention_mask, keep_mask, cfg=cfg, dtype_name=dtype_name,
+        use_flash=use_flash,
+    )
+    B, L, dim = emb.shape
+    flat = emb.reshape(B * L, dim)
+    codes = codec_ops.compress_into_codes(flat, centroids, bsize=1024)
+    residuals = codec_ops.compress_residuals(
+        flat, centroids[codes.astype(jnp.int32)], bucket_cutoffs, nbits=nbits
+    )
+    return codes.reshape(B, L), residuals.reshape(B, L, -1)
 
 
 def skiplist_keep_mask(ids: np.ndarray, mask: np.ndarray, skiplist: list[int]) -> np.ndarray:

@@ -122,10 +122,15 @@ def centroids_from_stats(
 
 @functools.partial(jax.jit, static_argnames=("k", "bsize"))
 def lloyd_step(
-    data: jax.Array, centroids: jax.Array, *, k: int, bsize: int = 1024
+    data: jax.Array,
+    centroids: jax.Array,
+    *,
+    k: int,
+    bsize: int = 1024,
+    weights: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One full Lloyd iteration -> (new_centroids, max-abs shift)."""
-    sums, counts = lloyd_stats(data, centroids, k=k, bsize=bsize)
+    sums, counts = lloyd_stats(data, centroids, k=k, bsize=bsize, weights=weights)
     new = centroids_from_stats(sums, counts, centroids)
     shift = jnp.max(jnp.abs(new - centroids.astype(jnp.float32)))
     return new, shift
@@ -148,21 +153,36 @@ def kmeans(
     tol: float = 1e-4,
     seed: int = 0,
     bsize: int = 1024,
+    compute_assignments: bool = True,
+    weights: jax.Array | None = None,
+    init_idx: jax.Array | None = None,
 ) -> KMeansResult:
     """Full k-means fit (single host / single device or auto-sharded by jit).
 
     Reference: utils.jl:253-318. The iteration loop runs in Python with a
     host-side convergence check (niters is small; each jitted step is the
     expensive part), matching the reference's early-exit semantics.
+    ``compute_assignments=False`` skips the final assignment pass (the codec
+    trainer only needs centroids). ``weights`` marks valid rows (0 = ignore)
+    and ``init_idx`` overrides the random-row init (callers with weighted
+    data must pick init rows from the valid subset).
     """
-    key = jax.random.PRNGKey(seed)
-    centroids = init_centroids(data, k, key)
+    if init_idx is not None:
+        centroids = data[jnp.asarray(init_idx)].astype(jnp.float32)
+    else:
+        key = jax.random.PRNGKey(seed)
+        centroids = init_centroids(data, k, key)
     shift = float("inf")
     it = 0
     for it in range(1, niters + 1):
-        centroids, shift_arr = lloyd_step(data, centroids, k=k, bsize=bsize)
+        centroids, shift_arr = lloyd_step(
+            data, centroids, k=k, bsize=bsize, weights=weights
+        )
         shift = float(shift_arr)
         if shift < tol:
             break
-    assignments = assign_clusters(data, centroids, bsize=bsize)
+    if compute_assignments:
+        assignments = assign_clusters(data, centroids, bsize=bsize)
+    else:
+        assignments = jnp.zeros((0,), jnp.int32)
     return KMeansResult(centroids, assignments, it, shift)

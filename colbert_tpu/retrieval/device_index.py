@@ -1,0 +1,351 @@
+"""Device-resident index + single-program search.
+
+The reference's search path bounces between GPU and CPU five times per query
+(SURVEY §3.4: CPU top-k, CPU IVF gather, CPU decompress, GPU maxsim, CPU
+sort). On a TPU the device<->host link and per-program dispatch are the
+scarce resources, so the entire index lives in HBM and a *batch* of queries
+is ONE jitted program — query BERT encode included:
+
+    tokenize (host) -> [one program: BERT query encode -> centroid scores ->
+    top-nprobe cells -> padded IVF gather -> on-device pid dedup (sort +
+    first-occurrence compaction) -> PLAID stage-1 centroid-only scoring ->
+    top-ncandidates -> chunked fused decompress + MaxSim -> final top-k]
+    -> (B, k) pids + scores back to host
+
+All shapes are static (``nprobe``, per-cell cap, dedup capacity, stage-2
+``ncandidates``, padded doc length, ``k``), so the pipeline compiles once
+per index geometry.
+
+HBM cost: codes 4B + residuals dim/8·nbits B per token (~36B at dim=128
+nbits=2) + ivf/emb2pid 8B — an 8.8M-passage MS MARCO index (~600M tokens)
+fits in a few GB.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colbert_tpu.ops import codec as codec_ops
+
+__all__ = ["DeviceIndex"]
+
+NEG = -1e30
+
+
+@dataclass
+class DeviceIndex:
+    """All index artifacts as device arrays, plus the jitted search program."""
+
+    centroids: jax.Array      # (k, dim) f32
+    codes: jax.Array          # (N+1,) uint32 — last row is the sentinel token
+    residuals: jax.Array      # (N+1, nbytes) uint8
+    ivf: jax.Array            # (N+pad,) int32 eids grouped by centroid
+    ivf_offsets: jax.Array    # (k,) int32
+    ivf_lengths: jax.Array    # (k,) int32
+    emb2pid: jax.Array        # (N+1,) int32 — sentinel eid -> sentinel pid
+    doclens: jax.Array        # (P+1,) int32 — sentinel pid has doclen 0
+    emb_offsets: jax.Array    # (P+1,) int32 — sentinel pid points at sentinel token
+    bucket_weights: jax.Array # (2^nbits,) f32
+    n_passages: int
+    nbits: int
+    max_doclen: int           # padded per-passage token capacity (static)
+
+    @classmethod
+    def build(
+        cls,
+        *,
+        centroids: np.ndarray,
+        codes: np.ndarray,
+        residuals: np.ndarray,
+        ivf: np.ndarray,
+        ivf_lengths: np.ndarray,
+        doclens: np.ndarray,
+        bucket_weights: np.ndarray,
+        nbits: int,
+    ) -> "DeviceIndex":
+        N = len(codes)
+        P = len(doclens)
+        sentinel_eid = N
+        sentinel_pid = P
+        nbytes = residuals.shape[1]
+
+        codes_p = np.concatenate([codes.astype(np.uint32), np.zeros(1, np.uint32)])
+        res_p = np.concatenate([residuals, np.zeros((1, nbytes), np.uint8)], axis=0)
+
+        emb2pid = np.repeat(np.arange(P, dtype=np.int32), doclens.astype(np.int64))
+        emb2pid = np.concatenate([emb2pid, np.asarray([sentinel_pid], np.int32)])
+
+        offsets = np.zeros(P + 1, np.int32)
+        if P:
+            offsets[:P] = np.concatenate([[0], np.cumsum(doclens[:-1])])
+        offsets[P] = sentinel_eid  # sentinel pid reads the sentinel token row
+        dl_p = np.concatenate([doclens.astype(np.int32), np.zeros(1, np.int32)])
+
+        ivf_offsets = np.concatenate([[0], np.cumsum(ivf_lengths)])[:-1].astype(np.int32)
+        # pad the ivf tail so offset reads at empty trailing cells stay in bounds
+        ivf_p = np.concatenate(
+            [ivf.astype(np.int32), np.full(1, sentinel_eid, np.int32)]
+        )
+
+        max_doclen = int(doclens.max()) if P else 1
+        max_doclen = max(32, -(-max_doclen // 32) * 32)
+
+        return cls(
+            centroids=jnp.asarray(centroids, jnp.float32),
+            codes=jnp.asarray(codes_p),
+            residuals=jnp.asarray(res_p),
+            ivf=jnp.asarray(ivf_p),
+            ivf_offsets=jnp.asarray(ivf_offsets),
+            ivf_lengths=jnp.asarray(ivf_lengths, jnp.int32),
+            emb2pid=jnp.asarray(emb2pid),
+            doclens=jnp.asarray(dl_p),
+            emb_offsets=jnp.asarray(offsets),
+            bucket_weights=jnp.asarray(bucket_weights, jnp.float32),
+            n_passages=P,
+            nbits=nbits,
+            max_doclen=max_doclen,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _clamp(self, Lq: int, nprobe: int, cell_cap: int,
+               max_candidates: int, ncandidates: int, k: int):
+        max_candidates = min(max_candidates, Lq * nprobe * cell_cap)
+        ncand = min(ncandidates, max_candidates)
+        return max_candidates, ncand, min(k, ncand)
+
+    def search(
+        self, Q: jax.Array, *, k: int, nprobe: int, ncandidates: int,
+        cell_cap: int = 1024, max_candidates: int = 8192,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """One pre-encoded query (Q: (Lq, dim)) -> (pids (k,), scores (k,))."""
+        pids, scores = self.search_Q_batch(
+            Q[None], k=k, nprobe=nprobe, ncandidates=ncandidates,
+            cell_cap=cell_cap, max_candidates=max_candidates,
+        )
+        return pids[0], scores[0]
+
+    def search_Q_batch(
+        self, Q: jax.Array, *, k: int, nprobe: int, ncandidates: int,
+        cell_cap: int = 1024, max_candidates: int = 8192,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Pre-encoded queries (B, Lq, dim) -> (pids (B, k), scores (B, k))."""
+        B, Lq, _ = Q.shape
+        mc, ncand, k_eff = self._clamp(Lq, nprobe, cell_cap, max_candidates,
+                                       ncandidates, k)
+        pids, scores = _search_batch(
+            Q,
+            self.centroids, self.codes, self.residuals,
+            self.ivf, self.ivf_offsets, self.ivf_lengths,
+            self.emb2pid, self.doclens, self.emb_offsets, self.bucket_weights,
+            sentinel_pid=self.n_passages,
+            nbits=self.nbits,
+            max_doclen=self.max_doclen,
+            k=k_eff, nprobe=nprobe, ncandidates=ncand,
+            cell_cap=cell_cap, max_candidates=mc,
+        )
+        return self._postprocess(np.asarray(pids), np.asarray(scores), k)
+
+    def search_tokens_batch(
+        self, params, bert_cfg, input_ids: np.ndarray, attention_mask: np.ndarray,
+        *, k: int, nprobe: int, ncandidates: int,
+        cell_cap: int = 1024, max_candidates: int = 8192,
+        dtype_name: str = "bfloat16",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fully fused serving path: query token ids -> (pids, scores) in ONE
+        device program (BERT query encode + retrieval + ranking)."""
+        B, Lq = input_ids.shape
+        mc, ncand, k_eff = self._clamp(Lq, nprobe, cell_cap, max_candidates,
+                                       ncandidates, k)
+        pids, scores = _search_tokens(
+            params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
+            self.centroids, self.codes, self.residuals,
+            self.ivf, self.ivf_offsets, self.ivf_lengths,
+            self.emb2pid, self.doclens, self.emb_offsets, self.bucket_weights,
+            bert_cfg=bert_cfg, dtype_name=dtype_name,
+            sentinel_pid=self.n_passages,
+            nbits=self.nbits,
+            max_doclen=self.max_doclen,
+            k=k_eff, nprobe=nprobe, ncandidates=ncand,
+            cell_cap=cell_cap, max_candidates=mc,
+        )
+        return self._postprocess(np.asarray(pids), np.asarray(scores), k)
+
+    def _postprocess(self, pids, scores, k):
+        B = pids.shape[0]
+        out_p = np.full((B, k), -1, np.int64)
+        out_s = np.full((B, k), -np.inf, np.float32)
+        for b in range(B):
+            valid = pids[b] != self.n_passages
+            nv = int(valid.sum())
+            out_p[b, :nv] = pids[b][valid]
+            out_s[b, :nv] = scores[b][valid]
+        return out_p, out_s
+
+
+# ---------------------------------------------------------------------------
+# search core (single query; vmapped over the batch)
+# ---------------------------------------------------------------------------
+
+
+def _search_core(
+    Q,                     # (Lq, dim) f32
+    centroids, codes, residuals, ivf, ivf_offsets, ivf_lengths,
+    emb2pid, doclens, emb_offsets, bucket_weights,
+    *, sentinel_pid: int, nbits: int, max_doclen: int,
+    k: int, nprobe: int, ncandidates: int, cell_cap: int, max_candidates: int,
+):
+    Lq, dim = Q.shape
+    sentinel_eid = codes.shape[0] - 1
+
+    # --- 1. centroid scores + probed cells (reference ranking.jl:27-31) ---
+    cscores = jnp.dot(Q, centroids.T, preferred_element_type=jnp.float32)  # (Lq, k)
+    _, cells = jax.lax.top_k(cscores, nprobe)  # (Lq, nprobe)
+    cells = cells.reshape(-1)  # (ncells,)
+
+    # --- 2. padded IVF gather (reference ranking.jl:7-21) ---
+    base = ivf_offsets[cells]                                   # (ncells,)
+    lens = ivf_lengths[cells]
+    ar = jnp.arange(cell_cap, dtype=jnp.int32)
+    idx = base[:, None] + jnp.minimum(ar[None, :], jnp.maximum(lens[:, None] - 1, 0))
+    valid = ar[None, :] < lens[:, None]
+    eids = jnp.where(valid, ivf[idx], sentinel_eid)             # (ncells, cell_cap)
+
+    # --- 3. on-device pid dedup ---
+    flat_pids = emb2pid[eids.reshape(-1)]                       # (ncells*cell_cap,)
+    sorted_pids = jnp.sort(flat_pids)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_pids[1:] != sorted_pids[:-1]]
+    )
+    first &= sorted_pids != sentinel_pid
+    order = jnp.argsort(~first)                                  # stable: firsts lead
+    cand = jnp.where(first[order], sorted_pids[order], sentinel_pid)
+    cand = cand[:max_candidates]                                 # (MC,)
+
+    # --- 4. stage-1: centroid-only approximate MaxSim (PLAID) ---
+    dl = doclens[cand]                                           # (MC,)
+    off = emb_offsets[cand]
+    arl = jnp.arange(max_doclen, dtype=jnp.int32)
+    tok_idx = off[:, None] + jnp.minimum(arl[None, :], jnp.maximum(dl[:, None] - 1, 0))
+    tok_valid = arl[None, :] < dl[:, None]                       # (MC, Ld)
+    tok_idx = jnp.where(tok_valid, tok_idx, sentinel_eid)
+
+    approx = _approx_maxsim(cscores, codes, tok_idx, tok_valid)  # (MC,)
+    approx = jnp.where(cand == sentinel_pid, NEG, approx)
+    _, keep_rows = jax.lax.top_k(approx, ncandidates)            # (NC,)
+
+    # --- 5. stage-2: chunked fused decompress + MaxSim on survivors ---
+    fin_pids = cand[keep_rows]
+    fin_tok_idx = tok_idx[keep_rows]                             # (NC, Ld)
+    fin_valid = tok_valid[keep_rows]
+    scores = _stage2_scores(
+        Q, codes, residuals, centroids, bucket_weights,
+        fin_tok_idx, fin_valid, nbits=nbits,
+    )
+    scores = jnp.where(fin_pids == sentinel_pid, NEG, scores)
+
+    # --- 6. final top-k ---
+    top_scores, top_rows = jax.lax.top_k(scores, k)
+    return fin_pids[top_rows], top_scores
+
+
+def _approx_maxsim(cscores, codes, tok_idx, tok_valid, *, chunk: int = 256):
+    """sum_q max_t cscores[q, code(token t)] over valid tokens, chunked."""
+    MC, Ld = tok_idx.shape
+    nchunks = max(1, -(-MC // chunk))
+    padded = nchunks * chunk
+    idx_p = jnp.pad(tok_idx, ((0, padded - MC), (0, 0))).reshape(nchunks, chunk, Ld)
+    valid_p = jnp.pad(tok_valid, ((0, padded - MC), (0, 0))).reshape(nchunks, chunk, Ld)
+
+    def one(args):
+        ti, v = args
+        c = codes[ti].astype(jnp.int32)         # (chunk, Ld)
+        s = cscores[:, c]                        # (Lq, chunk, Ld)
+        s = jnp.where(v[None], s, NEG)
+        per_q = jnp.max(s, axis=-1)              # (Lq, chunk)
+        any_tok = jnp.any(v, axis=-1)[None]
+        per_q = jnp.where(any_tok, per_q, 0.0)
+        return jnp.sum(per_q, axis=0)            # (chunk,)
+
+    out = jax.lax.map(one, (idx_p, valid_p))
+    return out.reshape(padded)[:MC]
+
+
+def _stage2_scores(
+    Q, codes, residuals, centroids, bucket_weights, tok_idx, tok_valid,
+    *, nbits: int, chunk: int = 128,
+):
+    """Fused decompress+MaxSim, chunked over candidates so the fp32
+    embeddings of only ``chunk`` passages are ever live."""
+    NC, Ld = tok_idx.shape
+    Lq, dim = Q.shape
+    nchunks = max(1, -(-NC // chunk))
+    padded = nchunks * chunk
+    idx_p = jnp.pad(tok_idx, ((0, padded - NC), (0, 0))).reshape(nchunks, chunk, Ld)
+    valid_p = jnp.pad(tok_valid, ((0, padded - NC), (0, 0))).reshape(nchunks, chunk, Ld)
+
+    def one(args):
+        ti, v = args
+        flat = ti.reshape(chunk * Ld)
+        embs = codec_ops.decompress(
+            codes[flat], residuals[flat], centroids, bucket_weights, nbits=nbits
+        ).reshape(chunk, Ld, dim)
+        s = jnp.einsum("qd,pld->pql", Q, embs, preferred_element_type=jnp.float32)
+        s = jnp.where(v[:, None, :], s, NEG)
+        per_q = jnp.max(s, axis=-1)              # (chunk, Lq)
+        any_tok = jnp.any(v, axis=-1)[:, None]
+        per_q = jnp.where(any_tok, per_q, 0.0)
+        return jnp.sum(per_q, axis=-1)           # (chunk,)
+
+    out = jax.lax.map(one, (idx_p, valid_p))
+    return out.reshape(padded)[:NC]
+
+
+_STATIC = (
+    "sentinel_pid", "nbits", "max_doclen", "k", "nprobe", "ncandidates",
+    "cell_cap", "max_candidates",
+)
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC)
+def _search_batch(
+    Q, centroids, codes, residuals, ivf, ivf_offsets, ivf_lengths,
+    emb2pid, doclens, emb_offsets, bucket_weights, **static,
+):
+    def one(q):
+        return _search_core(
+            q, centroids, codes, residuals, ivf, ivf_offsets, ivf_lengths,
+            emb2pid, doclens, emb_offsets, bucket_weights, **static,
+        )
+
+    return jax.vmap(one)(Q)
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC + ("bert_cfg", "dtype_name"))
+def _search_tokens(
+    params, input_ids, attention_mask,
+    centroids, codes, residuals, ivf, ivf_offsets, ivf_lengths,
+    emb2pid, doclens, emb_offsets, bucket_weights,
+    *, bert_cfg, dtype_name, **static,
+):
+    from colbert_tpu.models.colbert import _forward_normalized
+
+    keep = jnp.ones_like(attention_mask, dtype=bool)
+    Q = _forward_normalized(
+        params, input_ids, attention_mask, keep, cfg=bert_cfg,
+        dtype_name=dtype_name,
+    )
+
+    def one(q):
+        return _search_core(
+            q, centroids, codes, residuals, ivf, ivf_offsets, ivf_lengths,
+            emb2pid, doclens, emb_offsets, bucket_weights, **static,
+        )
+
+    return jax.vmap(one)(Q)

@@ -36,6 +36,10 @@ class Searcher:
     index_path: str
     encoder: ColBERTEncoder | None = None
     config: ColBERTConfig = None  # loaded from the index unless given
+    # "device": whole index HBM-resident, one jitted program per query
+    # (TPU-native default). "host": staged pipeline with host-side IVF
+    # gather per query (reference-shaped; useful for debugging/parity).
+    backend: str = "device"
 
     def __post_init__(self) -> None:
         if self.config is None:
@@ -63,6 +67,26 @@ class Searcher:
             [[0], np.cumsum(self.doclens[:-1])]
         ).astype(np.int64) if len(self.doclens) else np.zeros((1,), np.int64)
 
+        if self.backend == "device":
+            from colbert_tpu.retrieval.device_index import DeviceIndex
+
+            self.device_index = DeviceIndex.build(
+                centroids=np.asarray(self.centroids),
+                codes=self.codes,
+                residuals=self.residuals,
+                ivf=self.ivf,
+                ivf_lengths=self.ivf_lengths,
+                doclens=np.asarray(self.doclens, np.int64),
+                bucket_weights=np.asarray(self.bucket_weights),
+                nbits=self.config.nbits,
+            )
+            # capacities: generous but clamped so small indexes stay exact
+            max_ivf = int(self.ivf_lengths.max()) if len(self.ivf_lengths) else 1
+            self.cell_cap = min(1024, max(32, -(-max_ivf // 32) * 32))
+            self.max_candidates = min(
+                8192, max(128, -(-(len(self.doclens) + 1) // 128) * 128)
+            )
+
     # ------------------------------------------------------------------
 
     def search(self, query: str, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
@@ -75,14 +99,39 @@ class Searcher:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched retrieval -> (pids (B, k), scores (B, k))."""
         cfg = self.config
-        Q = jnp.asarray(self.encoder.encode_queries(list(queries)))  # (B, Lq, dim)
-        cells = np.asarray(
-            ranking.probe_centroids(Q, self.centroids, nprobe=cfg.nprobe)
-        )  # (B, Lq, nprobe)
-
         B = len(queries)
         out_pids = np.full((B, k), -1, np.int64)
         out_scores = np.full((B, k), -np.inf, np.float32)
+
+        if self.backend == "device":
+            # fully fused serving path: tokenize on host, then ONE device
+            # program does query BERT encode + retrieval + ranking.
+            from colbert_tpu.tokenization.tensorize import tensorize_queries
+
+            ids, mask = tensorize_queries(
+                list(queries),
+                self.encoder.tokenizer,
+                query_token_id=self.encoder.query_token_id,
+                query_maxlen=cfg.query_maxlen,
+                attend_to_mask_tokens=cfg.attend_to_mask_tokens,
+            )
+            ncand = cfg.ncandidates if cfg.use_plaid_pruning else self.max_candidates
+            pids_b, scores_b = self.device_index.search_tokens_batch(
+                self.encoder.params, self.encoder.bert_config, ids, mask,
+                k=k, nprobe=cfg.nprobe, ncandidates=ncand,
+                cell_cap=self.cell_cap, max_candidates=self.max_candidates,
+                dtype_name=cfg.activation_dtype,
+            )
+            kk = min(k, pids_b.shape[1])
+            out_pids[:, :kk] = pids_b[:, :kk]
+            out_scores[:, :kk] = scores_b[:, :kk]
+            return out_pids, out_scores
+
+        Q = jnp.asarray(self.encoder.encode_queries(list(queries)))  # (B, Lq, dim)
+
+        cells = np.asarray(
+            ranking.probe_centroids(Q, self.centroids, nprobe=cfg.nprobe)
+        )  # (B, Lq, nprobe)
         for b in range(B):
             pids = ranking.candidate_pids(
                 cells[b], self.ivf, self.ivf_lengths, self.emb2pid

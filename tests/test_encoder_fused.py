@@ -1,0 +1,46 @@
+"""Fused/device-resident encode paths must match the reference-equivalent
+stepwise path exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from colbert_tpu.ops import codec as codec_ops
+from colbert_tpu.utils.testing import make_encoder, synthetic_collection
+
+
+def test_encode_to_device_matches_host_path():
+    enc = make_encoder(dim=32, seed=0)
+    passages = synthetic_collection(13, seed=3)  # odd count: partial batches
+    flat_host, dl_host = enc.encode_passages(passages)
+    flat_dev, valid, dl_dev = enc.encode_passages_to_device(passages)
+    np.testing.assert_array_equal(dl_host, dl_dev)
+    got = np.asarray(flat_dev)[valid]
+    assert got.shape == flat_host.shape
+    # row order differs (encode order vs passage order): compare as multisets
+    # via lexicographic sort
+    order_a = np.lexsort(got.T)
+    order_b = np.lexsort(flat_host.T)
+    np.testing.assert_allclose(got[order_a], flat_host[order_b], rtol=1e-5, atol=1e-6)
+    # padded rows are exactly zero
+    np.testing.assert_allclose(np.asarray(flat_dev)[~valid], 0.0)
+
+
+def test_encode_compressed_matches_stepwise():
+    enc = make_encoder(dim=32, seed=0)
+    passages = synthetic_collection(11, seed=4)
+    rng = np.random.default_rng(0)
+    k = 16
+    centroids = rng.standard_normal((k, 32)).astype(np.float32)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    cutoffs = np.asarray([-0.05, 0.0, 0.05], np.float32)
+
+    codes_f, res_f, dl_f = enc.encode_passages_compressed(
+        passages, jnp.asarray(centroids), jnp.asarray(cutoffs), nbits=2
+    )
+    embs, dl = enc.encode_passages(passages)
+    codes_s, res_s = codec_ops.compress(
+        jnp.asarray(embs), jnp.asarray(centroids), jnp.asarray(cutoffs), nbits=2
+    )
+    np.testing.assert_array_equal(dl_f, dl)
+    np.testing.assert_array_equal(codes_f, np.asarray(codes_s))
+    np.testing.assert_array_equal(res_f, np.asarray(res_s))
