@@ -57,6 +57,14 @@ class ColBERTEncoder:
             )
         self.doc_token_id = self.tokenizer.token_to_id(self.config.doc_token_id)
         self.query_token_id = self.tokenizer.token_to_id(self.config.query_token_id)
+        # native (C++) batch tokenizer; output-identical, ~20x faster on the
+        # host side, graceful fallback to pure Python
+        from colbert_tpu.tokenization.native import NativeWordPiece
+
+        self._native_tok = NativeWordPiece(self.tokenizer)
+
+    def tokenize_batch(self, texts: Sequence[str]) -> list[list[int]]:
+        return self._native_tok.encode_batch(list(texts))
 
     @property
     def dim(self) -> int:
@@ -79,23 +87,9 @@ class ColBERTEncoder:
         if n == 0:
             return np.zeros((0, self.dim), np.float32), np.zeros((0,), np.int64)
 
-        # tokenize everything once, sort by length
-        token_ids = self.tokenizer.encode_batch(passages)
-        order = np.argsort([len(t) for t in token_ids], kind="stable")
-
         per_passage_embs: list[np.ndarray | None] = [None] * n
         doclens = np.zeros((n,), np.int64)
-        bsize = cfg.index_bsize
-        for start in range(0, n, bsize):
-            idx = order[start : start + bsize]
-            ids, mask = tensorize_docs(
-                [passages[i] for i in idx],
-                self.tokenizer,
-                doc_token_id=self.doc_token_id,
-                doc_maxlen=cfg.doc_maxlen,
-                length_bucket=cfg.length_bucket,
-            )
-            keep = skiplist_keep_mask(ids, mask, self.skiplist)
+        for idx, ids, mask, keep in self._doc_batches(passages):
             emb = encode_batch(
                 self.params,
                 jnp.asarray(ids),
@@ -114,9 +108,13 @@ class ColBERTEncoder:
         return np.ascontiguousarray(flat, dtype=np.float32), doclens
 
     def _doc_batches(self, passages: Sequence[str]):
-        """Length-sorted batches -> (orig_indices, ids, attn_mask, keep_mask)."""
+        """Length-sorted batches -> (orig_indices, ids, attn_mask, keep_mask).
+
+        Tokenizes once (native C++ path when available), sorts by token
+        length, and tensorizes each batch from the pre-tokenized ids.
+        """
         cfg = self.config
-        token_ids = self.tokenizer.encode_batch(passages)
+        token_ids = self.tokenize_batch(passages)
         order = np.argsort([len(t) for t in token_ids], kind="stable")
         bsize = cfg.index_bsize
         for start in range(0, len(passages), bsize):
@@ -127,6 +125,7 @@ class ColBERTEncoder:
                 doc_token_id=self.doc_token_id,
                 doc_maxlen=cfg.doc_maxlen,
                 length_bucket=cfg.length_bucket,
+                encoded=[token_ids[i] for i in idx],
             )
             keep = skiplist_keep_mask(ids, mask, self.skiplist)
             yield idx, ids, mask, keep

@@ -60,13 +60,16 @@ def tensorize_docs(
     doc_token_id: int,
     doc_maxlen: int,
     length_bucket: int = 64,
+    encoded: Sequence[Sequence[int]] | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Tokenize passages -> (ids (N, L), mask (N, L)) int32/bool, L bucketed.
 
     ``ids[:, 0] == [CLS]``, ``ids[:, 1] == [D]`` (marker inserted after CLS,
-    reference: tokenizer_utils.jl:140-143 ``_add_marker_row``).
+    reference: tokenizer_utils.jl:140-143 ``_add_marker_row``). Pass
+    ``encoded`` (pre-tokenized content ids) to skip re-tokenization.
     """
-    encoded = tokenizer.encode_batch(texts)
+    if encoded is None:
+        encoded = tokenizer.encode_batch(texts)
     content_budget = doc_maxlen - 3  # [CLS] [D] ... [SEP]
     rows = []
     for toks in encoded:
