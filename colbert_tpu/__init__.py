@@ -11,6 +11,9 @@ Public API mirrors the reference's six exports (reference: src/ColBERT.jl:21-40)
 """
 
 from colbert_tpu.config import ColBERTConfig
+from colbert_tpu.utils.jax_cache import enable_persistent_cache as _enable_cache
+
+_enable_cache()
 
 __version__ = "0.1.0"
 

@@ -68,6 +68,12 @@ class ColBERTConfig:
     mesh_model_axis: int = 1
     # use the pallas fused kernels on TPU (auto-disabled on cpu backend)
     use_pallas: bool = True
+    # minimum padded sequence length at which the encoder routes attention
+    # through the pallas flash kernel. Below this, XLA's fused attention is
+    # measurably faster on TPU (v5e: 60ms vs 80ms per 256x128 batch); above,
+    # the materialized (B, heads, S, S) score tensor dominates HBM traffic
+    # and the online-softmax kernel wins. Requires seqlen % 128 == 0.
+    flash_min_seqlen: int = 512
     # length bucketing for doc encoding: pad each batch up to the next multiple
     # of this, bounded by doc_maxlen, to limit recompilation while avoiding
     # always padding to doc_maxlen.
@@ -81,6 +87,8 @@ class ColBERTConfig:
     def __post_init__(self) -> None:
         if self.dim % 8 != 0:
             raise ValueError("dim must be a multiple of 8 (bit-packed residuals)")
+        if not (0 <= self.rank < max(1, self.nranks)):
+            raise ValueError("rank must satisfy 0 <= rank < nranks")
         if self.nbits not in (1, 2, 4, 8):
             raise ValueError("nbits must be one of 1, 2, 4, 8")
         if self.query_maxlen < 3:

@@ -28,7 +28,7 @@ import numpy as np
 
 from colbert_tpu.config import ColBERTConfig
 from colbert_tpu.indexing.codec_trainer import train_codec
-from colbert_tpu.indexing.planner import heldout_split, sample_pids, setup_plan
+from colbert_tpu.indexing.planner import sample_pids, setup_plan
 from colbert_tpu.models.encoder import ColBERTEncoder
 from colbert_tpu.ops import codec as codec_ops
 from colbert_tpu.storage import format as fmt
@@ -100,13 +100,12 @@ class Indexer:
         index_path = index_path or self.config.index_path
         if not index_path:
             raise ValueError("no index_path given (argument or config.index_path)")
-        if (
-            os.path.exists(os.path.join(index_path, "plan.json"))
-            and not overwrite
-            and not fmt.check_all_files_saved(index_path)
-        ):
-            logger.info("index at %s already complete; skipping", index_path)
-            return index_path
+        if os.path.exists(os.path.join(index_path, "plan.json")) and not overwrite:
+            if not fmt.check_all_files_saved(index_path):
+                logger.info("index at %s already complete; skipping", index_path)
+                return index_path
+        if overwrite:
+            _clear_index_dir(index_path)
         os.makedirs(index_path, exist_ok=True)
         _build(self.config, self.encoder, self.passages, index_path)
         return index_path
@@ -115,6 +114,39 @@ class Indexer:
 def index(indexer: Indexer, index_path: str | None = None, **kw) -> str:
     """Functional alias mirroring the reference's ``index(indexer)`` export."""
     return indexer.index(index_path, **kw)
+
+
+def _clear_index_dir(index_path: str) -> None:
+    """Remove known index artifacts so ``overwrite=True`` starts clean
+    (stale chunks/codec from a previous build must never mix with new ones)."""
+    if not os.path.isdir(index_path):
+        return
+    for name in os.listdir(index_path):
+        if name.endswith((".npy", ".json")):
+            os.remove(os.path.join(index_path, name))
+
+
+def _resumable_codec(index_path: str, n_passages: int):
+    """If a previous partial build left a codec + at least one complete
+    chunk, reuse the *saved* codec instead of retraining — retraining would
+    overwrite the centroids/cutoffs the resumed chunks were compressed
+    against (any nondeterminism then silently corrupts the index). The saved
+    plan must match the current collection; a mismatch is a hard error
+    (pass ``overwrite=True`` to rebuild).
+    """
+    has_plan = os.path.exists(os.path.join(index_path, "plan.json"))
+    has_codec = os.path.exists(os.path.join(index_path, "centroids.npy"))
+    if not (has_plan and has_codec and fmt.chunk_is_complete(index_path, 0)):
+        return None
+    plan = fmt.load_plan(index_path)
+    if int(plan.get("num_documents", -1)) != n_passages:
+        raise RuntimeError(
+            f"partial index at {index_path} was built from a different "
+            f"collection ({plan.get('num_documents')} vs {n_passages} "
+            "passages); pass overwrite=True to rebuild"
+        )
+    codec = fmt.load_codec(index_path)
+    return plan, codec
 
 
 def _build(
@@ -129,6 +161,22 @@ def _build(
         raise ValueError("empty collection")
     rng = np.random.default_rng(0)
     tracer = Tracer()
+
+    resumed = _resumable_codec(index_path, n)
+    if resumed is not None:
+        plan, codec = resumed
+        centroids_dev = jnp.asarray(codec["centroids"])
+        cutoffs_dev = jnp.asarray(codec["bucket_cutoffs"])
+        weights_dev = jnp.asarray(codec["bucket_weights"])
+        logger.info(
+            "resuming build at %s: reusing saved codec (%d partitions)",
+            index_path, plan["num_partitions"],
+        )
+        _build_chunks(
+            config, encoder, passages, index_path, plan, tracer,
+            centroids_dev, cutoffs_dev, t0,
+        )
+        return
 
     # --- phase 1: sample + encode (collection_indexer.jl:56-91) ---
     # TPU-native: sample embeddings stay device-resident (padded + validity
@@ -187,7 +235,25 @@ def _build(
     )
     logger.info("codec trained in %.1fs (avg_residual=%.4f)", time.time() - t, avg_residual)
 
+    _build_chunks(
+        config, encoder, passages, index_path, plan, tracer,
+        centroids_dev, cutoffs_dev, t0,
+    )
+
+
+def _build_chunks(
+    config: ColBERTConfig,
+    encoder: ColBERTEncoder,
+    passages: list[str],
+    index_path: str,
+    plan: dict,
+    tracer: Tracer,
+    centroids_dev: jnp.ndarray,
+    cutoffs_dev: jnp.ndarray,
+    t0: float,
+) -> None:
     # --- phase 4: fused encode+compress chunks (collection_indexer.jl:271-297) ---
+    n = len(passages)
     chunksize = plan["chunksize"]
     all_codes: list[np.ndarray] = []
     for chunk_idx in range(plan["num_chunks"]):

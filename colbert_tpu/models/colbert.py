@@ -63,7 +63,11 @@ def _forward_normalized(
         use_flash=use_flash,
     )
     lin = params["linear"]
-    emb = jnp.dot(hidden.astype(jnp.float32), lin["kernel"])
+    # project in the activation dtype (MXU-friendly), accumulate fp32
+    emb = jnp.dot(
+        hidden, lin["kernel"].astype(hidden.dtype),
+        preferred_element_type=jnp.float32,
+    )
     if "bias" in lin:
         emb = emb + lin["bias"]
     emb = emb * keep_mask[..., None]

@@ -8,16 +8,23 @@ a GPU->CPU transfer and a growing ``cat`` per batch — its measured bottleneck
   - batches are *length-bucketed* (sorted by token length, padded to a small
     closed set of bucket lengths) so the jitted forward compiles a handful of
     shapes and wastes no FLOPs on pad tokens,
-  - each batch is one jitted device program; results land in a preallocated
-    host array (no quadratic concatenation),
+  - device programs are dispatched asynchronously with a bounded in-flight
+    window: batch ``i+1``'s host tokenize/tensorize and device compute
+    overlap batch ``i``'s device->host transfer,
+  - host-side compaction (dropping masked token rows, restoring original
+    passage order) is one vectorized scatter per batch — no per-row Python,
+  - attention can route through the pallas flash kernel
+    (``config.use_pallas``; length buckets are forced to multiples of 128
+    where the kernel requires it),
   - the same pipeline object serves indexing and searching.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,7 +32,6 @@ from colbert_tpu.config import ColBERTConfig
 from colbert_tpu.models.bert import BertConfig
 from colbert_tpu.models.colbert import (
     ColBERTParams,
-    compact_doc_embeddings,
     encode_batch,
     encode_compress_batch,
     skiplist_keep_mask,
@@ -38,6 +44,45 @@ from colbert_tpu.tokenization.tensorize import (
 from colbert_tpu.tokenization.wordpiece import WordPieceTokenizer
 
 __all__ = ["ColBERTEncoder"]
+
+# batches allowed in flight (dispatched, not yet copied to host) before the
+# pipeline drains the oldest; bounds HBM held by outstanding outputs.
+MAX_INFLIGHT = 8
+
+
+def _start_host_copy(*arrays) -> None:
+    """Kick off device->host copies without blocking (measured ~1.6x
+    end-to-end on a tunneled chip where synchronous D2H serializes with
+    compute); ``np.asarray`` later completes them cheaply."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            return
+
+
+def _scatter_compact(
+    out: np.ndarray,
+    dest_offsets: np.ndarray,
+    idx: np.ndarray,
+    keep: np.ndarray,
+    values: np.ndarray,
+) -> None:
+    """Scatter one batch's kept token rows into the global flat array.
+
+    ``values`` is the batch output ``(B, L, ...)``; row ``r`` holds passage
+    ``idx[r]`` whose kept tokens land at ``dest_offsets[idx[r]] + [0..)``.
+    Vectorized equivalent of the reference's per-passage flatten+compact
+    (embedding_utils.jl:195-205), with original-order restore.
+    """
+    counts = keep.sum(axis=1).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return
+    starts = np.concatenate([[0], np.cumsum(counts[:-1])])
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    dest = np.repeat(dest_offsets[idx], counts) + within
+    out[dest] = values[keep]
 
 
 @dataclass
@@ -62,9 +107,35 @@ class ColBERTEncoder:
         from colbert_tpu.tokenization.native import NativeWordPiece
 
         self._native_tok = NativeWordPiece(self.tokenizer)
+        # pallas flash attention: TPU backends only, and only for padded
+        # lengths >= config.flash_min_seqlen (XLA's fused attention is faster
+        # below that — measured on v5e); the kernel needs seqlen % 128 == 0,
+        # so when flash can trigger, buckets are coarsened to 128.
+        self._flash_capable = bool(self.config.use_pallas) and (
+            jax.default_backend() not in ("cpu",)
+        )
+        self.length_bucket = self.config.length_bucket
+        self._strict_buckets = (
+            self._flash_capable
+            and self.config.doc_maxlen >= self.config.flash_min_seqlen
+        )
+        if self._strict_buckets and self.length_bucket % 128 != 0:
+            self.length_bucket = 128
+        # pay the backend's one-time device<->host handshake now (measured
+        # ~100s on a tunneled chip's FIRST transfer) instead of inside the
+        # first encode call
+        np.asarray(jnp.zeros((1,), jnp.float32))
 
     def tokenize_batch(self, texts: Sequence[str]) -> list[list[int]]:
         return self._native_tok.encode_batch(list(texts))
+
+    def _flash_for(self, padded_len: int) -> bool:
+        """Per-batch routing: pallas flash only where it beats XLA."""
+        return (
+            self._flash_capable
+            and padded_len >= self.config.flash_min_seqlen
+            and padded_len % 128 == 0
+        )
 
     @property
     def dim(self) -> int:
@@ -87,48 +158,66 @@ class ColBERTEncoder:
         if n == 0:
             return np.zeros((0, self.dim), np.float32), np.zeros((0,), np.int64)
 
-        per_passage_embs: list[np.ndarray | None] = [None] * n
         doclens = np.zeros((n,), np.int64)
+        drained: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        pending: list[tuple[np.ndarray, np.ndarray, jax.Array]] = []
         for idx, ids, mask, keep in self._doc_batches(passages):
-            emb = encode_batch(
+            emb_dev = encode_batch(
                 self.params,
                 jnp.asarray(ids),
                 jnp.asarray(mask),
                 jnp.asarray(keep),
                 cfg=self.bert_config,
                 dtype_name=cfg.activation_dtype,
+                use_flash=self._flash_for(ids.shape[1]),
             )
-            emb = np.asarray(emb)
-            for row, i in enumerate(idx):
-                k = keep[row]
-                per_passage_embs[i] = emb[row][k]
-                doclens[i] = int(k.sum())
+            doclens[idx] = keep.sum(axis=1)
+            _start_host_copy(emb_dev)
+            pending.append((idx, keep, emb_dev))
+            if len(pending) > MAX_INFLIGHT:
+                idx0, keep0, dev0 = pending.pop(0)
+                drained.append((idx0, keep0, np.asarray(dev0)))
+        drained.extend((i, kp, np.asarray(d)) for i, kp, d in pending)
 
-        flat = np.concatenate([e for e in per_passage_embs], axis=0) if n else None
-        return np.ascontiguousarray(flat, dtype=np.float32), doclens
+        dest_offsets = np.concatenate([[0], np.cumsum(doclens[:-1])])
+        flat = np.empty((int(doclens.sum()), self.dim), np.float32)
+        for idx, keep, emb in drained:
+            _scatter_compact(flat, dest_offsets, idx, keep, emb)
+        return flat, doclens
 
-    def _doc_batches(self, passages: Sequence[str]):
+    def _doc_batches(
+        self, passages: Sequence[str]
+    ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
         """Length-sorted batches -> (orig_indices, ids, attn_mask, keep_mask).
 
-        Tokenizes once (native C++ path when available), sorts by token
-        length, and tensorizes each batch from the pre-tokenized ids.
+        Passages are processed in groups of ``config.passages_batch_size``
+        (reference: config.jl:83) so host tokenization of group ``g+1``
+        overlaps device compute of group ``g``'s async-dispatched batches;
+        within a group, batches are token-length-sorted (the reference's
+        ``_sort_by_length`` is commented out — utils.jl:1-36; here it's on)
+        and tensorized from pre-tokenized ids (native C++ path when
+        available).
         """
         cfg = self.config
-        token_ids = self.tokenize_batch(passages)
-        order = np.argsort([len(t) for t in token_ids], kind="stable")
         bsize = cfg.index_bsize
-        for start in range(0, len(passages), bsize):
-            idx = order[start : start + bsize]
-            ids, mask = tensorize_docs(
-                [passages[i] for i in idx],
-                self.tokenizer,
-                doc_token_id=self.doc_token_id,
-                doc_maxlen=cfg.doc_maxlen,
-                length_bucket=cfg.length_bucket,
-                encoded=[token_ids[i] for i in idx],
-            )
-            keep = skiplist_keep_mask(ids, mask, self.skiplist)
-            yield idx, ids, mask, keep
+        group = max(cfg.passages_batch_size, bsize)
+        for glo in range(0, len(passages), group):
+            ghi = min(len(passages), glo + group)
+            token_ids = self.tokenize_batch(passages[glo:ghi])
+            order = glo + np.argsort([len(t) for t in token_ids], kind="stable")
+            for start in range(0, ghi - glo, bsize):
+                idx = order[start : start + bsize]
+                ids, mask = tensorize_docs(
+                    [passages[i] for i in idx],
+                    self.tokenizer,
+                    doc_token_id=self.doc_token_id,
+                    doc_maxlen=cfg.doc_maxlen,
+                    length_bucket=self.length_bucket,
+                    encoded=[token_ids[i - glo] for i in idx],
+                    strict_multiple=self._strict_buckets,
+                )
+                keep = skiplist_keep_mask(ids, mask, self.skiplist)
+                yield idx, ids, mask, keep
 
     def encode_passages_to_device(
         self, passages: Sequence[str]
@@ -160,6 +249,7 @@ class ColBERTEncoder:
                 jnp.asarray(keep),
                 cfg=self.bert_config,
                 dtype_name=cfg.activation_dtype,
+                use_flash=self._flash_for(ids.shape[1]),
             )
             B, L, dim = emb.shape
             flats.append(emb.reshape(B * L, dim))
@@ -190,8 +280,8 @@ class ColBERTEncoder:
             return (np.zeros((0,), np.uint32), np.zeros((0, nbytes), np.uint8),
                     np.zeros((0,), np.int64))
         doclens = np.zeros((n,), np.int64)
-        per_passage: list[tuple[np.ndarray, np.ndarray]] = [None] * n  # type: ignore
-        pending = []
+        drained: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        pending: list[tuple[np.ndarray, np.ndarray, jax.Array, jax.Array]] = []
         for idx, ids, mask, keep in self._doc_batches(passages):
             codes_d, res_d = encode_compress_batch(
                 self.params,
@@ -203,20 +293,29 @@ class ColBERTEncoder:
                 cfg=self.bert_config,
                 dtype_name=cfg.activation_dtype,
                 nbits=nbits,
+                use_flash=self._flash_for(ids.shape[1]),
             )
-            # async dispatch: defer host transfers so the next batch's
-            # compute overlaps this batch's (slow) device->host copy
-            pending.append((idx, keep, codes_d, res_d))
             doclens[idx] = keep.sum(axis=1)
-        for idx, keep, codes_d, res_d in pending:
-            codes = np.asarray(codes_d)
-            res = np.asarray(res_d)
-            for r, passage_i in enumerate(idx):
-                k = keep[r]
-                per_passage[passage_i] = (codes[r][k], res[r][k])
-        flat_codes = np.concatenate([c for c, _ in per_passage])
-        flat_res = np.concatenate([r for _, r in per_passage], axis=0)
-        return flat_codes.astype(np.uint32), flat_res, doclens
+            # async dispatch + async host copy: the next batch's compute
+            # overlaps this batch's device->host copy; a bounded window caps
+            # outstanding HBM.
+            _start_host_copy(codes_d, res_d)
+            pending.append((idx, keep, codes_d, res_d))
+            if len(pending) > MAX_INFLIGHT:
+                i0, k0, c0, r0 = pending.pop(0)
+                drained.append((i0, k0, np.asarray(c0), np.asarray(r0)))
+        drained.extend(
+            (i, kp, np.asarray(c), np.asarray(r)) for i, kp, c, r in pending
+        )
+
+        dest_offsets = np.concatenate([[0], np.cumsum(doclens[:-1])])
+        total = int(doclens.sum())
+        flat_codes = np.empty((total,), np.uint32)
+        flat_res = np.empty((total, nbytes), np.uint8)
+        for idx, keep, codes, res in drained:
+            _scatter_compact(flat_codes, dest_offsets, idx, keep, codes)
+            _scatter_compact(flat_res, dest_offsets, idx, keep, res)
+        return flat_codes, flat_res, doclens
 
     # -- queries -------------------------------------------------------------
 

@@ -29,7 +29,7 @@ NEG = -1e30
 
 
 def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
-    # q_ref: (1, block_q, hd); k/v_ref: (1, S, hd); bias_ref: (1, S)
+    # q_ref: (1, block_q, hd); k/v_ref: (1, S, hd); bias_ref: (1, 1, S)
     q = q_ref[0].astype(jnp.float32) * scale
     S = k_ref.shape[1]
     bq, hd = q.shape
@@ -42,7 +42,7 @@ def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: 
         s = jax.lax.dot_general(
             q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bk)
-        s = s + bias_ref[0, pl.ds(i * block_k, block_k)][None, :]
+        s = s + bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -81,11 +81,15 @@ def flash_attention(
     H = num_heads
 
     kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale)
+    # bias rides as (B, 1, S): a (1, 1, S) block keeps the TPU sublane rule
+    # happy (sublane dim == array dim), which a 2-D (1, S) block violates.
+    bias3 = bias[:, None, :]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, S), lambda bh, i: (bh // H, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda bh, i: (bh // H, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, hd), lambda bh, i: (bh, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, hd), lambda bh, i: (bh, 0, 0),
@@ -97,4 +101,4 @@ def flash_attention(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
-    )(bias, q, k, v)
+    )(bias3, q, k, v)

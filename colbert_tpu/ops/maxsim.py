@@ -15,7 +15,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["maxsim_scores", "maxsim_from_flat"]
+__all__ = ["maxsim_scores"]
 
 NEG = -1e30
 
@@ -59,18 +59,3 @@ def maxsim_scores(
 
     scores = jax.lax.map(one, (D_p, m_p))  # (nchunks, B, pid_chunk)
     return scores.transpose(1, 0, 2).reshape(B, padded)[:, :P]
-
-
-@functools.partial(jax.jit, static_argnames=("pid_chunk",))
-def maxsim_from_flat(
-    Q: jax.Array,            # (B, Lq, dim)
-    flat_embs: jax.Array,    # (N, dim) — decompressed candidate embeddings
-    gather_idx: jax.Array,   # (P, Ld) int32 — rows of flat_embs per passage
-    dmask: jax.Array,        # (P, Ld) bool
-    *,
-    pid_chunk: int = 256,
-) -> jax.Array:
-    """MaxSim where candidates are gathered on device from a flat embedding
-    pool (the decompress output) via per-passage index matrices."""
-    D = flat_embs[gather_idx]  # (P, Ld, dim)
-    return maxsim_scores(Q, D, dmask, pid_chunk=pid_chunk)

@@ -104,6 +104,8 @@ class NativeWordPiece:
             1 if self.tokenizer.do_lower_case else 0,
             out_ids.reshape(-1), out_lens, self.max_tokens, self.n_threads,
         )
+        # out_lens < 0: per-text python fallback (-1 non-ASCII, -2 overflow —
+        # the native path never silently truncates)
         result: list[list[int]] = []
         fallback_idx = [i for i in range(len(texts)) if out_lens[i] < 0]
         fallback = {

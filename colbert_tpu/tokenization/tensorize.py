@@ -48,7 +48,13 @@ def build_skiplist(tokenizer: WordPieceTokenizer, mask_punctuation: bool = True)
     return sorted(ids)
 
 
-def _bucket_len(max_len: int, bucket: int, cap: int) -> int:
+def _bucket_len(max_len: int, bucket: int, cap: int, strict_multiple: bool = False) -> int:
+    if strict_multiple:
+        # every padded length is an exact multiple of ``bucket`` (pallas flash
+        # attention requires seqlen % 128 == 0); the cap rounds UP so content
+        # is still truncated at ``cap`` tokens, only padding extends past it.
+        cap_b = -(-cap // bucket) * bucket
+        return min(cap_b, -(-max_len // bucket) * bucket)
     b = min(cap, -(-max_len // bucket) * bucket)
     return max(b, bucket if cap >= bucket else cap)
 
@@ -61,6 +67,7 @@ def tensorize_docs(
     doc_maxlen: int,
     length_bucket: int = 64,
     encoded: Sequence[Sequence[int]] | None = None,
+    strict_multiple: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Tokenize passages -> (ids (N, L), mask (N, L)) int32/bool, L bucketed.
 
@@ -76,7 +83,7 @@ def tensorize_docs(
         toks = toks[:content_budget]
         rows.append([tokenizer.cls_id, doc_token_id] + toks + [tokenizer.sep_id])
     max_len = max(len(r) for r in rows) if rows else 3
-    L = _bucket_len(max_len, length_bucket, doc_maxlen)
+    L = _bucket_len(max_len, length_bucket, doc_maxlen, strict_multiple)
     ids = np.full((len(rows), L), tokenizer.pad_id, dtype=np.int32)
     mask = np.zeros((len(rows), L), dtype=bool)
     for i, r in enumerate(rows):

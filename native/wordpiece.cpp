@@ -18,7 +18,9 @@
 //     texts_blob: concatenated UTF-8 texts; text i spans
 //       [text_offsets[i], text_offsets[i+1]).
 //     out_ids: int32[n_texts * max_tokens_per_text]; out_lens: int32[n_texts],
-//       where -1 marks "contains non-ASCII: use the Python fallback".
+//       where -1 marks "contains non-ASCII: use the Python fallback" and
+//       -2 marks "more than max_tokens_per_text tokens: Python fallback"
+//       (the native path never silently truncates).
 //   wp_destroy(handle)
 
 #include <cstdint>
@@ -46,7 +48,11 @@ inline bool is_ws(unsigned char c) {
     return c == ' ' || c == '\t' || c == '\n' || c == '\r';
 }
 
-inline bool is_ctrl(unsigned char c) { return c < 32 && !is_ws(c); }
+// DEL (0x7F) is a control char for the HF BasicTokenizer too — it must be
+// stripped, not kept inside a word (parity with wordpiece.py `_is_control`).
+inline bool is_ctrl(unsigned char c) {
+    return (c < 32 && !is_ws(c)) || c == 127;
+}
 
 // Greedy longest-match WordPiece over one ASCII word; returns false if the
 // word cannot be fully pieced (caller emits UNK).
@@ -151,7 +157,10 @@ void wp_encode_batch(void* handle, const char* texts_blob,
             ids.clear();
             encode_one(v, text, do_lower != 0, ids);
             int32_t n = (int32_t)ids.size();
-            if (n > max_tokens_per_text) n = max_tokens_per_text;
+            if (n > max_tokens_per_text) {
+                out_lens[i] = -2;  // overflow: python fallback (never truncate)
+                continue;
+            }
             memcpy(out_ids + (int64_t)i * max_tokens_per_text, ids.data(),
                    (size_t)n * sizeof(int32_t));
             out_lens[i] = n;

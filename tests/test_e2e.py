@@ -128,3 +128,52 @@ def test_load_collection_tsv(tmp_path):
     p2.write_text("line one\nline two\n")
     assert load_collection(str(p2)) == ["line one", "line two"]
     assert load_collection(["a", "b"]) == ["a", "b"]
+
+
+def test_resume_reuses_saved_codec(built_index, tmp_path, monkeypatch):
+    # on resume the saved codec must be loaded, NOT retrained: retraining
+    # would overwrite the centroids the kept chunks were compressed against
+    cfg, encoder, passages, path = built_index
+    import os, shutil
+    import colbert_tpu.indexing.builder as builder_mod
+
+    path2 = str(tmp_path / "idx_resume_codec")
+    shutil.copytree(path, path2)
+    os.remove(os.path.join(path2, "1.codes.npy"))
+    centroids_before = np.load(os.path.join(path2, "centroids.npy")).copy()
+
+    def boom(*a, **k):
+        raise AssertionError("train_codec must not run on resume")
+
+    monkeypatch.setattr(builder_mod, "train_codec", boom)
+    Indexer(cfg, encoder=encoder, collection=passages).index(path2)
+    assert fmt.check_all_files_saved(path2) == []
+    np.testing.assert_array_equal(
+        np.load(os.path.join(path2, "centroids.npy")), centroids_before
+    )
+
+
+def test_resume_rejects_different_collection(built_index, tmp_path):
+    cfg, encoder, passages, path = built_index
+    import os, shutil
+
+    path2 = str(tmp_path / "idx_stale")
+    shutil.copytree(path, path2)
+    os.remove(os.path.join(path2, "ivf.npy"))  # force incomplete -> rebuild
+    with pytest.raises(RuntimeError, match="different"):
+        Indexer(cfg, encoder=encoder, collection=passages[:-3]).index(path2)
+
+
+def test_overwrite_clears_stale_artifacts(built_index, tmp_path):
+    cfg, encoder, passages, path = built_index
+    import os, shutil
+
+    path2 = str(tmp_path / "idx_overwrite")
+    shutil.copytree(path, path2)
+    # a stale extra chunk from a previous larger build must not survive
+    shutil.copy(
+        os.path.join(path2, "1.codes.npy"), os.path.join(path2, "9.codes.npy")
+    )
+    Indexer(cfg, encoder=encoder, collection=passages).index(path2, overwrite=True)
+    assert not os.path.exists(os.path.join(path2, "9.codes.npy"))
+    assert fmt.check_all_files_saved(path2) == []

@@ -67,3 +67,21 @@ def test_native_faster_than_python(pair, rng):
     t_python = time.time() - t
     # don't be strict in CI, just sanity: native shouldn't be slower
     assert t_native < t_python, (t_native, t_python)
+
+
+def test_del_control_char_parity(pair):
+    # DEL (0x7f) is a control char: HF BasicTokenizer strips it inside words
+    tok, native = pair
+    texts = ["hel\x7flo", "\x7fdog", "dog\x7f cat", "\x01\x02dog"]
+    assert native.encode_batch(texts) == tok.encode_batch(texts)
+
+
+def test_overflow_falls_back_not_truncates(pair):
+    # texts longer than the native buffer must take the python fallback
+    # (full token list), never be silently truncated
+    tok, native = pair
+    long_text = " ".join(["dog"] * (native.max_tokens + 50))
+    got = native.encode_batch([long_text, "dog cat"])
+    want = tok.encode_batch([long_text, "dog cat"])
+    assert got == want
+    assert len(got[0]) == native.max_tokens + 50
