@@ -82,7 +82,18 @@ class ColBERTConfig:
     # approximate (centroid-only) scoring stage. The reference defines
     # `ncandidates` but never uses it (SURVEY §3.4); here it is meaningful.
     use_plaid_pruning: bool = True
-    centroid_score_threshold: float = 0.45
+    # probed IVF cells with centroid score below this generate no candidates
+    # (each query token's best cell is always kept); None disables cell
+    # pruning. PLAID's default operating point is 0.45 (PAPERS.md).
+    centroid_score_threshold: float | None = 0.45
+    # device-search capacity knobs (static shapes of the jitted search
+    # program). None = auto-size from the index: cell_cap from the largest
+    # IVF cell, max_candidates from the passage count — exact but memory-
+    # hungry on big indexes; set explicitly to trade recall for speed.
+    # Candidate-set truncation is score-ordered and overflow is counted
+    # (DeviceIndex.overflow_candidates) and logged.
+    search_cell_cap: int | None = None
+    search_max_candidates: int | None = None
 
     def __post_init__(self) -> None:
         if self.dim % 8 != 0:

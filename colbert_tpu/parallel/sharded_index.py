@@ -156,6 +156,7 @@ class ShardedDeviceIndex:
     def search_Q_batch(
         self, Q: jax.Array, *, k: int, nprobe: int, ncandidates: int,
         cell_cap: int = 1024, max_candidates: int = 8192,
+        centroid_threshold: float | None = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Queries (B, Lq, dim) -> (pids (B, k), scores (B, k)), exact merge
         of per-shard top-k results."""
@@ -169,9 +170,10 @@ class ShardedDeviceIndex:
             self.mesh, sentinel_pid=self.shard_passages, nbits=self.nbits,
             max_doclen=self.max_doclen, k=k_local, nprobe=nprobe,
             ncandidates=ncand, cell_cap=cell_cap, max_candidates=max_candidates,
+            centroid_threshold=centroid_threshold,
         )
         repl = NamedSharding(self.mesh, P())
-        local_pids, local_scores = fn(
+        local_pids, local_scores, _overflow = fn(
             jax.device_put(Q, repl),
             self.centroids, self.codes, self.residuals, self.ivf,
             self.ivf_offsets, self.ivf_lengths, self.emb2pid, self.doclens,
@@ -205,7 +207,7 @@ def _sharded_search_fn(mesh, **static):
             P("data"), P("data"), P("data"),
             P(),              # bucket_weights
         ),
-        out_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
         check_vma=False,
     )
     def search(Q, centroids, codes, residuals, ivf, ivf_offsets, ivf_lengths,
@@ -218,7 +220,7 @@ def _sharded_search_fn(mesh, **static):
                 bucket_weights, **static,
             )
 
-        pids, scores = jax.vmap(one)(Q)      # (B, k)
-        return pids[None], scores[None]       # re-add device axis
+        pids, scores, overflow = jax.vmap(one)(Q)   # (B, k)
+        return pids[None], scores[None], overflow[None]  # re-add device axis
 
     return jax.jit(search)

@@ -24,7 +24,8 @@ fits in a few GB.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+import logging
+from dataclasses import dataclass, field
 from typing import Tuple
 
 import jax
@@ -32,6 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from colbert_tpu.ops import codec as codec_ops
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["DeviceIndex"]
 
@@ -55,6 +58,10 @@ class DeviceIndex:
     n_passages: int
     nbits: int
     max_doclen: int           # padded per-passage token capacity (static)
+    # telemetry: total candidates dropped by max_candidates truncation
+    # (score-ordered, so the dropped ones are the weakest — but non-zero
+    # overflow still means recall may differ from exhaustive probing)
+    overflow_candidates: int = field(default=0, compare=False)
 
     @classmethod
     def build(
@@ -123,23 +130,26 @@ class DeviceIndex:
     def search(
         self, Q: jax.Array, *, k: int, nprobe: int, ncandidates: int,
         cell_cap: int = 1024, max_candidates: int = 8192,
+        centroid_threshold: float | None = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """One pre-encoded query (Q: (Lq, dim)) -> (pids (k,), scores (k,))."""
         pids, scores = self.search_Q_batch(
             Q[None], k=k, nprobe=nprobe, ncandidates=ncandidates,
             cell_cap=cell_cap, max_candidates=max_candidates,
+            centroid_threshold=centroid_threshold,
         )
         return pids[0], scores[0]
 
     def search_Q_batch(
         self, Q: jax.Array, *, k: int, nprobe: int, ncandidates: int,
         cell_cap: int = 1024, max_candidates: int = 8192,
+        centroid_threshold: float | None = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Pre-encoded queries (B, Lq, dim) -> (pids (B, k), scores (B, k))."""
         B, Lq, _ = Q.shape
         mc, ncand, k_eff = self._clamp(Lq, nprobe, cell_cap, max_candidates,
                                        ncandidates, k)
-        pids, scores = _search_batch(
+        pids, scores, overflow = _search_batch(
             Q,
             self.centroids, self.codes, self.residuals,
             self.ivf, self.ivf_offsets, self.ivf_lengths,
@@ -149,13 +159,17 @@ class DeviceIndex:
             max_doclen=self.max_doclen,
             k=k_eff, nprobe=nprobe, ncandidates=ncand,
             cell_cap=cell_cap, max_candidates=mc,
+            centroid_threshold=centroid_threshold,
         )
-        return self._postprocess(np.asarray(pids), np.asarray(scores), k)
+        return self._postprocess(
+            np.asarray(pids), np.asarray(scores), np.asarray(overflow), k
+        )
 
     def search_tokens_batch(
         self, params, bert_cfg, input_ids: np.ndarray, attention_mask: np.ndarray,
         *, k: int, nprobe: int, ncandidates: int,
         cell_cap: int = 1024, max_candidates: int = 8192,
+        centroid_threshold: float | None = None,
         dtype_name: str = "bfloat16",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Fully fused serving path: query token ids -> (pids, scores) in ONE
@@ -163,7 +177,7 @@ class DeviceIndex:
         B, Lq = input_ids.shape
         mc, ncand, k_eff = self._clamp(Lq, nprobe, cell_cap, max_candidates,
                                        ncandidates, k)
-        pids, scores = _search_tokens(
+        pids, scores, overflow = _search_tokens(
             params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
             self.centroids, self.codes, self.residuals,
             self.ivf, self.ivf_offsets, self.ivf_lengths,
@@ -174,11 +188,22 @@ class DeviceIndex:
             max_doclen=self.max_doclen,
             k=k_eff, nprobe=nprobe, ncandidates=ncand,
             cell_cap=cell_cap, max_candidates=mc,
+            centroid_threshold=centroid_threshold,
         )
-        return self._postprocess(np.asarray(pids), np.asarray(scores), k)
+        return self._postprocess(
+            np.asarray(pids), np.asarray(scores), np.asarray(overflow), k
+        )
 
-    def _postprocess(self, pids, scores, k):
+    def _postprocess(self, pids, scores, overflow, k):
         B = pids.shape[0]
+        dropped = int(overflow.sum())
+        if dropped > 0:
+            self.overflow_candidates += dropped
+            logger.warning(
+                "candidate dedup overflow: %d candidates dropped "
+                "(lowest stage-0 scores; raise search_max_candidates "
+                "to score them)", dropped,
+            )
         out_p = np.full((B, k), -1, np.int64)
         out_s = np.full((B, k), -np.inf, np.float32)
         for b in range(B):
@@ -200,32 +225,56 @@ def _search_core(
     emb2pid, doclens, emb_offsets, bucket_weights,
     *, sentinel_pid: int, nbits: int, max_doclen: int,
     k: int, nprobe: int, ncandidates: int, cell_cap: int, max_candidates: int,
+    centroid_threshold: float | None = None,
 ):
     Lq, dim = Q.shape
     sentinel_eid = codes.shape[0] - 1
 
     # --- 1. centroid scores + probed cells (reference ranking.jl:27-31) ---
     cscores = jnp.dot(Q, centroids.T, preferred_element_type=jnp.float32)  # (Lq, k)
-    _, cells = jax.lax.top_k(cscores, nprobe)  # (Lq, nprobe)
-    cells = cells.reshape(-1)  # (ncells,)
+    probe_scores, cells = jax.lax.top_k(cscores, nprobe)  # (Lq, nprobe)
+
+    # PLAID cell pruning (PAPERS.md PLAID; the reference has no staged
+    # pruning at all): probed cells whose centroid score falls below
+    # ``centroid_threshold`` generate no candidates. Each query token's
+    # best cell is always kept so weak queries still retrieve.
+    if centroid_threshold is not None:
+        keep_cell = probe_scores >= centroid_threshold       # (Lq, nprobe)
+        keep_cell = keep_cell.at[:, 0].set(True)
+    else:
+        keep_cell = jnp.ones(probe_scores.shape, bool)
+    cells = cells.reshape(-1)                                 # (ncells,)
+    keep_cell = keep_cell.reshape(-1)
+    entry_score = probe_scores.reshape(-1)                    # (ncells,)
 
     # --- 2. padded IVF gather (reference ranking.jl:7-21) ---
     base = ivf_offsets[cells]                                   # (ncells,)
-    lens = ivf_lengths[cells]
+    lens = jnp.where(keep_cell, ivf_lengths[cells], 0)
     ar = jnp.arange(cell_cap, dtype=jnp.int32)
     idx = base[:, None] + jnp.minimum(ar[None, :], jnp.maximum(lens[:, None] - 1, 0))
     valid = ar[None, :] < lens[:, None]
     eids = jnp.where(valid, ivf[idx], sentinel_eid)             # (ncells, cell_cap)
 
-    # --- 3. on-device pid dedup ---
-    flat_pids = emb2pid[eids.reshape(-1)]                       # (ncells*cell_cap,)
-    sorted_pids = jnp.sort(flat_pids)
+    # --- 3. on-device pid dedup, score-ordered ---
+    # Each surviving entry carries its originating cell's centroid score;
+    # dedup keeps per-pid maxima and truncation to ``max_candidates`` drops
+    # the LOWEST-scored candidates (never arbitrary pid-order victims), with
+    # the overflow counted and surfaced to the caller.
+    flat_pids = emb2pid[eids.reshape(-1)]                       # (E,)
+    flat_score = jnp.broadcast_to(entry_score[:, None], valid.shape).reshape(-1)
+    flat_score = jnp.where(valid.reshape(-1), flat_score, NEG)
+    ord1 = jnp.argsort(-flat_score)                              # score desc
+    p1, s1 = flat_pids[ord1], flat_score[ord1]
+    ord2 = jnp.argsort(p1, stable=True)                          # pid groups,
+    p2, s2 = p1[ord2], s1[ord2]                                  # scores desc inside
     first = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_pids[1:] != sorted_pids[:-1]]
+        [jnp.ones((1,), bool), p2[1:] != p2[:-1]]
     )
-    first &= sorted_pids != sentinel_pid
-    order = jnp.argsort(~first)                                  # stable: firsts lead
-    cand = jnp.where(first[order], sorted_pids[order], sentinel_pid)
+    first &= p2 != sentinel_pid
+    n_unique = jnp.sum(first)
+    overflow = jnp.maximum(0, n_unique - max_candidates)
+    ord3 = jnp.argsort(jnp.where(first, -s2, jnp.inf))          # best firsts lead
+    cand = jnp.where(first[ord3], p2[ord3], sentinel_pid)
     cand = cand[:max_candidates]                                 # (MC,)
 
     # --- 4. stage-1: centroid-only approximate MaxSim (PLAID) ---
@@ -252,7 +301,7 @@ def _search_core(
 
     # --- 6. final top-k ---
     top_scores, top_rows = jax.lax.top_k(scores, k)
-    return fin_pids[top_rows], top_scores
+    return fin_pids[top_rows], top_scores, overflow
 
 
 def _approx_maxsim(cscores, codes, tok_idx, tok_valid, *, chunk: int = 256):
@@ -309,7 +358,7 @@ def _stage2_scores(
 
 _STATIC = (
     "sentinel_pid", "nbits", "max_doclen", "k", "nprobe", "ncandidates",
-    "cell_cap", "max_candidates",
+    "cell_cap", "max_candidates", "centroid_threshold",
 )
 
 

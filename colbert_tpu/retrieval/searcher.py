@@ -60,32 +60,58 @@ class Searcher:
         self.plan = fmt.load_plan(self.index_path)
         self.ivf, self.ivf_lengths = fmt.load_ivf(self.index_path)
         self.doclens = fmt.load_all_doclens(self.index_path)
-        self.codes = fmt.load_all_codes(self.index_path)
-        self.residuals = fmt.load_all_residuals(self.index_path)
-        self.emb2pid = ranking.build_emb2pid(self.doclens)
-        self.emb_offsets = np.concatenate(
-            [[0], np.cumsum(self.doclens[:-1])]
-        ).astype(np.int64) if len(self.doclens) else np.zeros((1,), np.int64)
 
         if self.backend == "device":
             from colbert_tpu.retrieval.device_index import DeviceIndex
 
+            # memory hygiene: chunks are mmap'd and the host concat is
+            # dropped right after the HBM upload — device-mode host RSS is
+            # ~independent of index size (the reference keeps the whole
+            # index in host RAM, loaders.jl:91-113).
             self.device_index = DeviceIndex.build(
                 centroids=np.asarray(self.centroids),
-                codes=self.codes,
-                residuals=self.residuals,
+                codes=fmt.load_all_codes(self.index_path, mmap=True),
+                residuals=fmt.load_all_residuals(self.index_path, mmap=True),
                 ivf=self.ivf,
                 ivf_lengths=self.ivf_lengths,
                 doclens=np.asarray(self.doclens, np.int64),
                 bucket_weights=np.asarray(self.bucket_weights),
                 nbits=self.config.nbits,
             )
-            # capacities: generous but clamped so small indexes stay exact
-            max_ivf = int(self.ivf_lengths.max()) if len(self.ivf_lengths) else 1
-            self.cell_cap = min(1024, max(32, -(-max_ivf // 32) * 32))
-            self.max_candidates = min(
-                8192, max(128, -(-(len(self.doclens) + 1) // 128) * 128)
-            )
+            self.codes = self.residuals = None  # HBM-resident only
+            self.emb2pid = self.emb_offsets = None
+            self._init_capacities()
+        else:
+            self.codes = fmt.load_all_codes(self.index_path)
+            self.residuals = fmt.load_all_residuals(self.index_path)
+            self.emb2pid = ranking.build_emb2pid(self.doclens)
+            self.emb_offsets = np.concatenate(
+                [[0], np.cumsum(self.doclens[:-1])]
+            ).astype(np.int64) if len(self.doclens) else np.zeros((1,), np.int64)
+
+    def _init_capacities(self) -> None:
+        """Static capacities of the jitted search program. Auto mode sizes
+        them to make the probe EXACT (no truncation); explicit config values
+        trade recall for speed, with a warning when they truncate."""
+        import logging
+
+        cfg = self.config
+        logger = logging.getLogger(__name__)
+        max_ivf = int(self.ivf_lengths.max()) if len(self.ivf_lengths) else 1
+        if cfg.search_cell_cap is not None:
+            self.cell_cap = int(cfg.search_cell_cap)
+            if max_ivf > self.cell_cap:
+                logger.warning(
+                    "search_cell_cap=%d truncates IVF cells (largest has %d "
+                    "embeddings); recall may drop vs exhaustive probing",
+                    self.cell_cap, max_ivf,
+                )
+        else:
+            self.cell_cap = max(32, -(-max_ivf // 32) * 32)
+        if cfg.search_max_candidates is not None:
+            self.max_candidates = int(cfg.search_max_candidates)
+        else:
+            self.max_candidates = max(128, -(-(len(self.doclens) + 1) // 128) * 128)
 
     # ------------------------------------------------------------------
 
@@ -116,10 +142,14 @@ class Searcher:
                 attend_to_mask_tokens=cfg.attend_to_mask_tokens,
             )
             ncand = cfg.ncandidates if cfg.use_plaid_pruning else self.max_candidates
+            threshold = (
+                cfg.centroid_score_threshold if cfg.use_plaid_pruning else None
+            )
             pids_b, scores_b = self.device_index.search_tokens_batch(
                 self.encoder.params, self.encoder.bert_config, ids, mask,
                 k=k, nprobe=cfg.nprobe, ncandidates=ncand,
                 cell_cap=self.cell_cap, max_candidates=self.max_candidates,
+                centroid_threshold=threshold,
                 dtype_name=cfg.activation_dtype,
             )
             kk = min(k, pids_b.shape[1])

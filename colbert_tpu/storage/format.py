@@ -155,18 +155,23 @@ def load_all_doclens(index_path: str) -> np.ndarray:
     return np.concatenate(parts) if parts else np.zeros((0,), np.int32)
 
 
-def load_all_codes(index_path: str) -> np.ndarray:
+def load_all_codes(index_path: str, *, mmap: bool = False) -> np.ndarray:
+    """``mmap=True`` reads chunks through the page cache (one materialized
+    copy from the concat instead of two), for device-resident consumers that
+    drop the host array after upload."""
+    mode = "r" if mmap else None
     parts = [
-        np.load(os.path.join(index_path, f"{i}.codes.npy"))
+        np.load(os.path.join(index_path, f"{i}.codes.npy"), mmap_mode=mode)
         for i in range(_num_chunks(index_path))
     ]
     return np.concatenate(parts) if parts else np.zeros((0,), np.uint32)
 
 
-def load_all_residuals(index_path: str) -> np.ndarray:
+def load_all_residuals(index_path: str, *, mmap: bool = False) -> np.ndarray:
     """All packed residuals in one matrix (reference: loaders.jl:91-113)."""
+    mode = "r" if mmap else None
     parts = [
-        np.load(os.path.join(index_path, f"{i}.residuals.npy"))
+        np.load(os.path.join(index_path, f"{i}.residuals.npy"), mmap_mode=mode)
         for i in range(_num_chunks(index_path))
     ]
     return np.concatenate(parts, axis=0)

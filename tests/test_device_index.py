@@ -50,3 +50,42 @@ def test_device_backend_k_larger_than_candidates(built):
     valid = pids >= 0
     assert valid.sum() <= len(passages)
     assert len(np.unique(pids[valid])) == valid.sum()  # no duplicate pids
+
+
+def test_plaid_cell_pruning_preserves_topk(built):
+    """Centroid-threshold cell pruning must keep the same top-k on clustered
+    data (the pruned cells only ever contribute weak candidates)."""
+    import jax.numpy as jnp
+
+    cfg, encoder, passages, path = built
+    s = Searcher(path, encoder=encoder)
+    queries = [passages[5], passages[33], passages[59]]
+    Q = jnp.asarray(encoder.encode_queries(queries))
+    kw = dict(k=5, nprobe=cfg.nprobe, ncandidates=cfg.ncandidates,
+              cell_cap=s.cell_cap, max_candidates=s.max_candidates)
+    p_full, s_full = s.device_index.search_Q_batch(Q, centroid_threshold=None, **kw)
+    p_pruned, s_pruned = s.device_index.search_Q_batch(
+        Q, centroid_threshold=cfg.centroid_score_threshold, **kw
+    )
+    np.testing.assert_array_equal(p_full, p_pruned)
+    np.testing.assert_allclose(s_full, s_pruned, rtol=1e-4, atol=1e-4)
+
+
+def test_candidate_overflow_counted_and_score_ordered(built):
+    """When max_candidates truncates the dedup set, the overflow is counted
+    and the kept candidates are the best stage-0 scorers (so the true top-1
+    survives), not an arbitrary pid-ordered prefix."""
+    import jax.numpy as jnp
+
+    cfg, encoder, passages, path = built
+    s = Searcher(path, encoder=encoder)
+    Q = jnp.asarray(encoder.encode_queries([passages[20]]))
+    kw = dict(k=3, nprobe=cfg.nprobe, ncandidates=cfg.ncandidates,
+              cell_cap=s.cell_cap)
+    p_full, _ = s.device_index.search_Q_batch(
+        Q, max_candidates=s.max_candidates, **kw
+    )
+    before = s.device_index.overflow_candidates
+    p_tight, _ = s.device_index.search_Q_batch(Q, max_candidates=4, **kw)
+    assert s.device_index.overflow_candidates > before  # surfaced
+    assert p_tight[0, 0] == p_full[0, 0]  # best candidate survives truncation

@@ -55,11 +55,12 @@ def test_search_exact_vs_bruteforce(built_index):
     import jax.numpy as jnp
 
     embs = np.asarray(codec_ops.decompress(
-        jnp.asarray(searcher.codes), jnp.asarray(searcher.residuals),
+        jnp.asarray(fmt.load_all_codes(path)),
+        jnp.asarray(fmt.load_all_residuals(path)),
         searcher.centroids, searcher.bucket_weights, nbits=cfg.nbits,
     ))
-    offsets = searcher.emb_offsets
     doclens = searcher.doclens
+    offsets = np.concatenate([[0], np.cumsum(doclens[:-1])]).astype(np.int64)
 
     queries = [passages[3], passages[17], "the dog runs fast"]
     pids_out, scores_out = searcher.search_batch(queries, k=5)

@@ -29,12 +29,14 @@ def built(tmp_path_factory):
 
 def test_sharded_matches_single_device(built):
     cfg, encoder, passages, s = built
+    from colbert_tpu.storage import format as fmt
+
     mesh = make_mesh(8, 1)
     sharded = ShardedDeviceIndex.build(
         mesh,
         centroids=np.asarray(s.centroids),
-        codes=s.codes,
-        residuals=s.residuals,
+        codes=fmt.load_all_codes(s.index_path),
+        residuals=fmt.load_all_residuals(s.index_path),
         doclens=np.asarray(s.doclens, np.int64),
         bucket_weights=np.asarray(s.bucket_weights),
         nbits=cfg.nbits,
@@ -56,12 +58,14 @@ def test_sharded_matches_single_device(built):
 
 def test_sharded_pid_ranges(built):
     cfg, encoder, passages, s = built
+    from colbert_tpu.storage import format as fmt
+
     mesh = make_mesh(4, 1)
     sharded = ShardedDeviceIndex.build(
         mesh,
         centroids=np.asarray(s.centroids),
-        codes=s.codes,
-        residuals=s.residuals,
+        codes=fmt.load_all_codes(s.index_path),
+        residuals=fmt.load_all_residuals(s.index_path),
         doclens=np.asarray(s.doclens, np.int64),
         bucket_weights=np.asarray(s.bucket_weights),
         nbits=cfg.nbits,
