@@ -108,6 +108,46 @@ def params_from_state_dict(
     return {"embeddings": emb, "layers": {k: _stack(v) for k, v in per_layer.items()}}
 
 
+def state_dict_from_params(
+    params: Dict[str, Any], cfg: BertConfig, *, prefix: str = "bert."
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`params_from_state_dict` + linear head: the
+    scan-stacked ColBERT pytree -> flat HF-named state dict (torch
+    ``(out, in)`` kernel layout). Used to export checkpoints and for
+    load-roundtrip tests."""
+    bert = params["bert"]
+    emb = bert["embeddings"]
+    sd: Dict[str, np.ndarray] = {
+        f"{prefix}embeddings.word_embeddings.weight": np.asarray(emb["word"]),
+        f"{prefix}embeddings.position_embeddings.weight": np.asarray(emb["position"]),
+        f"{prefix}embeddings.token_type_embeddings.weight": np.asarray(emb["token_type"]),
+        f"{prefix}embeddings.LayerNorm.weight": np.asarray(emb["ln"]["scale"]),
+        f"{prefix}embeddings.LayerNorm.bias": np.asarray(emb["ln"]["bias"]),
+    }
+    layer_map = {
+        "q": "attention.self.query",
+        "k": "attention.self.key",
+        "v": "attention.self.value",
+        "attn_out": "attention.output.dense",
+        "mlp_in": "intermediate.dense",
+        "mlp_out": "output.dense",
+    }
+    ln_map = {"attn_ln": "attention.output.LayerNorm", "mlp_ln": "output.LayerNorm"}
+    layers = bert["layers"]
+    for i in range(cfg.num_hidden_layers):
+        p = f"{prefix}encoder.layer.{i}"
+        for ours, hf in layer_map.items():
+            sd[f"{p}.{hf}.weight"] = np.asarray(layers[ours]["kernel"][i]).T
+            sd[f"{p}.{hf}.bias"] = np.asarray(layers[ours]["bias"][i])
+        for ours, hf in ln_map.items():
+            sd[f"{p}.{hf}.weight"] = np.asarray(layers[ours]["scale"][i])
+            sd[f"{p}.{hf}.bias"] = np.asarray(layers[ours]["bias"][i])
+    sd["linear.weight"] = np.asarray(params["linear"]["kernel"]).T
+    if "bias" in params["linear"]:
+        sd["linear.bias"] = np.asarray(params["linear"]["bias"])
+    return sd
+
+
 def load_checkpoint(
     directory: str,
 ) -> Tuple[BertConfig, Dict[str, Any], WordPieceTokenizer]:
