@@ -95,6 +95,23 @@ class Indexer:
         self.passages = load_collection(
             self.collection if self.collection is not None else self.config.collection
         )
+        # multi-chip: when >1 device is visible (and the config doesn't pin
+        # the mesh to 1), the build runs data-parallel — DP-sharded encode +
+        # psum'd k-means + distributed quantiles — through this same facade
+        # (SURVEY §2 parallelism replacements, reachable from the public API).
+        import jax
+
+        n_data = self.config.mesh_data_axis
+        if n_data == -1:
+            n_data = jax.device_count() // max(1, self.config.mesh_model_axis)
+        if n_data > 1:
+            from colbert_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(n_data, self.config.mesh_model_axis)
+            if self.encoder.mesh is None:
+                self.encoder.attach_mesh(self.mesh)
+        else:
+            self.mesh = None
 
     def index(self, index_path: str | None = None, *, overwrite: bool = False) -> str:
         index_path = index_path or self.config.index_path
@@ -225,6 +242,7 @@ def _build(
             kmeans_niters=config.kmeans_niters,
             sample_weights=train_weights,
             init_idx=jnp.asarray(init_idx),
+            mesh=encoder.mesh,
         )
     fmt.save_codec(
         index_path,

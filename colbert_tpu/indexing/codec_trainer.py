@@ -28,6 +28,8 @@ def train_codec(
     seed: int = 0,
     sample_weights=None,
     init_idx=None,
+    mesh=None,
+    tol: float = 1e-4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, float]:
     """-> (centroids (k, dim), bucket_cutoffs, bucket_weights, avg_residual).
 
@@ -36,7 +38,18 @@ def train_codec(
     builder ships them straight into the fused encode+compress chunk loop.
     ``sample_weights``/``init_idx`` support padded device-resident samples
     (invalid rows weighted 0; init rows chosen from the valid subset).
+
+    With ``mesh``, Lloyd statistics are psum'd over the data axis
+    (:mod:`colbert_tpu.parallel.kmeans_dist`) and the bucket quantiles use
+    the distributed histogram quantile (:mod:`colbert_tpu.ops.quantile`) —
+    no single device ever holds the full sample.
     """
+    if mesh is not None:
+        return _train_codec_sharded(
+            sample, heldout, mesh, num_partitions=num_partitions, nbits=nbits,
+            kmeans_niters=kmeans_niters, seed=seed,
+            sample_weights=sample_weights, init_idx=init_idx, tol=tol,
+        )
     result = kmeans_ops.kmeans(
         jnp.asarray(sample),
         num_partitions,
@@ -52,3 +65,66 @@ def train_codec(
     residuals = heldout - centroids[codes.astype(jnp.int32)]
     cutoffs, weights, avg = codec_ops.bucket_cutoffs_and_weights(nbits, residuals)
     return centroids, cutoffs, weights, float(avg)
+
+
+def _train_codec_sharded(
+    sample, heldout, mesh, *, num_partitions, nbits, kmeans_niters, seed,
+    sample_weights, init_idx, tol,
+):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from colbert_tpu.ops.quantile import sharded_quantiles
+    from colbert_tpu.parallel.kmeans_dist import _sharded_step_fn
+
+    ndev = mesh.shape["data"]
+    data = jnp.asarray(sample, jnp.float32)
+    n, dim = data.shape
+    weights = (
+        jnp.ones((n,), jnp.float32) if sample_weights is None
+        else jnp.asarray(sample_weights, jnp.float32)
+    )
+    padded = -(-n // ndev) * ndev
+    if padded != n:
+        data = jnp.pad(data, ((0, padded - n), (0, 0)))
+        weights = jnp.pad(weights, (0, padded - n))
+    dsh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    data = jax.device_put(data, dsh)
+    weights = jax.device_put(weights, dsh)
+
+    if init_idx is None:
+        key = jax.random.PRNGKey(seed)
+        init_idx = jax.random.permutation(key, n)[:num_partitions]
+    centroids = jax.device_put(data[jnp.asarray(init_idx)], repl)
+
+    step = _sharded_step_fn(mesh, num_partitions, 1024)
+    for _ in range(kmeans_niters):
+        centroids, shift = step(data, centroids, weights)
+        if float(shift) < tol:
+            break
+
+    heldout = jax.device_put(jnp.asarray(heldout, jnp.float32), repl)
+    codes = codec_ops.compress_into_codes(heldout, centroids)
+    residuals = heldout - centroids[codes.astype(jnp.int32)]
+
+    # distributed quantiles over the (row-sharded) heldout residuals
+    num_options = 1 << nbits
+    base = np.arange(num_options, dtype=np.float64) / num_options
+    m = residuals.shape[0]
+    m_pad = -(-m // ndev) * ndev
+    w_h = jnp.pad(jnp.ones((m,), jnp.float32), (0, m_pad - m))
+    res_pad = jnp.pad(residuals, ((0, m_pad - m), (0, 0)))
+    cutoffs, _ = sharded_quantiles(
+        res_pad, np.asarray(base[1:], np.float32), mesh, weights=w_h
+    )
+    bweights, avg = sharded_quantiles(
+        res_pad, np.asarray(base + 0.5 / num_options, np.float32), mesh,
+        weights=w_h,
+    )
+    return (
+        centroids,
+        cutoffs.astype(jnp.float32),
+        bweights.astype(jnp.float32),
+        float(avg),
+    )

@@ -125,6 +125,46 @@ class ColBERTEncoder:
         # ~100s on a tunneled chip's FIRST transfer) instead of inside the
         # first encode call
         np.asarray(jnp.zeros((1,), jnp.float32))
+        self.mesh = None
+        self._data_sharding = None
+
+    def attach_mesh(self, mesh) -> None:
+        """Enable data-parallel encoding over ``mesh``: params are replicated
+        once, every batch is padded to the data-axis size and placed sharded
+        on its leading dim, and XLA runs the (embarrassingly parallel)
+        forward with no collectives. SURVEY §2's DP-encode replacement,
+        reachable from the public ``Indexer``/``Searcher`` facades."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self.mesh = mesh
+        self._data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        repl = NamedSharding(mesh, PartitionSpec())
+        self.params = jax.tree.map(
+            lambda x: jax.device_put(x, repl), self.params
+        )
+
+    def _put_batch(self, ids, mask, keep):
+        """Host arrays -> device arrays (padded + data-sharded under a mesh).
+
+        Returns device arrays whose leading dim may exceed the host batch
+        (padded rows have empty masks); callers slice transfers back to the
+        real row count.
+        """
+        if self.mesh is None:
+            return jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(keep)
+        ndev = self.mesh.shape["data"]
+        n = ids.shape[0]
+        padded = -(-n // ndev) * ndev
+        if padded != n:
+            pad = ((0, padded - n), (0, 0))
+            ids = np.pad(ids, pad)
+            mask = np.pad(mask, pad)
+            keep = np.pad(keep, pad)
+        return (
+            jax.device_put(ids, self._data_sharding),
+            jax.device_put(mask, self._data_sharding),
+            jax.device_put(keep, self._data_sharding),
+        )
 
     def tokenize_batch(self, texts: Sequence[str]) -> list[list[int]]:
         return self._native_tok.encode_batch(list(texts))
@@ -162,11 +202,12 @@ class ColBERTEncoder:
         drained: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         pending: list[tuple[np.ndarray, np.ndarray, jax.Array]] = []
         for idx, ids, mask, keep in self._doc_batches(passages):
+            ids_d, mask_d, keep_d = self._put_batch(ids, mask, keep)
             emb_dev = encode_batch(
                 self.params,
-                jnp.asarray(ids),
-                jnp.asarray(mask),
-                jnp.asarray(keep),
+                ids_d,
+                mask_d,
+                keep_d,
                 cfg=self.bert_config,
                 dtype_name=cfg.activation_dtype,
                 use_flash=self._flash_for(ids.shape[1]),
@@ -176,8 +217,8 @@ class ColBERTEncoder:
             pending.append((idx, keep, emb_dev))
             if len(pending) > MAX_INFLIGHT:
                 idx0, keep0, dev0 = pending.pop(0)
-                drained.append((idx0, keep0, np.asarray(dev0)))
-        drained.extend((i, kp, np.asarray(d)) for i, kp, d in pending)
+                drained.append((idx0, keep0, np.asarray(dev0)[: len(idx0)]))
+        drained.extend((i, kp, np.asarray(d)[: len(i)]) for i, kp, d in pending)
 
         dest_offsets = np.concatenate([[0], np.cumsum(doclens[:-1])])
         flat = np.empty((int(doclens.sum()), self.dim), np.float32)
@@ -242,18 +283,19 @@ class ColBERTEncoder:
         valids = []
         doclens = np.zeros((n,), np.int64)
         for idx, ids, mask, keep in self._doc_batches(passages):
+            ids_d, mask_d, keep_d = self._put_batch(ids, mask, keep)
             emb = encode_batch(
                 self.params,
-                jnp.asarray(ids),
-                jnp.asarray(mask),
-                jnp.asarray(keep),
+                ids_d,
+                mask_d,
+                keep_d,
                 cfg=self.bert_config,
                 dtype_name=cfg.activation_dtype,
                 use_flash=self._flash_for(ids.shape[1]),
             )
-            B, L, dim = emb.shape
+            B, L, dim = emb.shape  # B includes mesh padding rows (valid=False)
             flats.append(emb.reshape(B * L, dim))
-            valids.append(keep.reshape(B * L))
+            valids.append(np.asarray(keep_d).reshape(B * L))
             doclens[idx] = keep.sum(axis=1)
         flat = flats[0] if len(flats) == 1 else jnp.concatenate(flats, axis=0)
         return flat, np.concatenate(valids), doclens
@@ -283,11 +325,12 @@ class ColBERTEncoder:
         drained: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
         pending: list[tuple[np.ndarray, np.ndarray, jax.Array, jax.Array]] = []
         for idx, ids, mask, keep in self._doc_batches(passages):
+            ids_d, mask_d, keep_d = self._put_batch(ids, mask, keep)
             codes_d, res_d = encode_compress_batch(
                 self.params,
-                jnp.asarray(ids),
-                jnp.asarray(mask),
-                jnp.asarray(keep),
+                ids_d,
+                mask_d,
+                keep_d,
                 centroids,
                 bucket_cutoffs,
                 cfg=self.bert_config,
@@ -303,9 +346,12 @@ class ColBERTEncoder:
             pending.append((idx, keep, codes_d, res_d))
             if len(pending) > MAX_INFLIGHT:
                 i0, k0, c0, r0 = pending.pop(0)
-                drained.append((i0, k0, np.asarray(c0), np.asarray(r0)))
+                drained.append(
+                    (i0, k0, np.asarray(c0)[: len(i0)], np.asarray(r0)[: len(i0)])
+                )
         drained.extend(
-            (i, kp, np.asarray(c), np.asarray(r)) for i, kp, c, r in pending
+            (i, kp, np.asarray(c)[: len(i)], np.asarray(r)[: len(i)])
+            for i, kp, c, r in pending
         )
 
         dest_offsets = np.concatenate([[0], np.cumsum(doclens[:-1])])
@@ -336,13 +382,14 @@ class ColBERTEncoder:
             # query skiplist is pad-only (searching.jl:62); pads were replaced
             # by [MASK], so every position is kept.
             keep = np.ones_like(mask)
+            ids_d, mask_d, keep_d = self._put_batch(ids, mask, keep)
             emb = encode_batch(
                 self.params,
-                jnp.asarray(ids),
-                jnp.asarray(mask),
-                jnp.asarray(keep),
+                ids_d,
+                mask_d,
+                keep_d,
                 cfg=self.bert_config,
                 dtype_name=cfg.activation_dtype,
             )
-            out[start : start + len(batch)] = np.asarray(emb)
+            out[start : start + len(batch)] = np.asarray(emb)[: len(batch)]
         return out

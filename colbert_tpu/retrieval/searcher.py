@@ -37,8 +37,10 @@ class Searcher:
     encoder: ColBERTEncoder | None = None
     config: ColBERTConfig = None  # loaded from the index unless given
     # "device": whole index HBM-resident, one jitted program per query
-    # (TPU-native default). "host": staged pipeline with host-side IVF
-    # gather per query (reference-shaped; useful for debugging/parity).
+    # (TPU-native default). "sharded": index partitioned over the device
+    # mesh's data axis, per-shard search + exact cross-shard top-k merge
+    # (pod serving). "host": staged pipeline with host-side IVF gather per
+    # query (reference-shaped; useful for debugging/parity).
     backend: str = "device"
 
     def __post_init__(self) -> None:
@@ -79,6 +81,25 @@ class Searcher:
                 nbits=self.config.nbits,
             )
             self.codes = self.residuals = None  # HBM-resident only
+            self.emb2pid = self.emb_offsets = None
+            self._init_capacities()
+        elif self.backend == "sharded":
+            from colbert_tpu.parallel.mesh import make_mesh
+            from colbert_tpu.parallel.sharded_index import ShardedDeviceIndex
+
+            self.mesh = make_mesh(
+                self.config.mesh_data_axis, self.config.mesh_model_axis
+            )
+            self.sharded_index = ShardedDeviceIndex.build(
+                self.mesh,
+                centroids=np.asarray(self.centroids),
+                codes=fmt.load_all_codes(self.index_path, mmap=True),
+                residuals=fmt.load_all_residuals(self.index_path, mmap=True),
+                doclens=np.asarray(self.doclens, np.int64),
+                bucket_weights=np.asarray(self.bucket_weights),
+                nbits=self.config.nbits,
+            )
+            self.codes = self.residuals = None
             self.emb2pid = self.emb_offsets = None
             self._init_capacities()
         else:
@@ -151,6 +172,22 @@ class Searcher:
                 cell_cap=self.cell_cap, max_candidates=self.max_candidates,
                 centroid_threshold=threshold,
                 dtype_name=cfg.activation_dtype,
+            )
+            kk = min(k, pids_b.shape[1])
+            out_pids[:, :kk] = pids_b[:, :kk]
+            out_scores[:, :kk] = scores_b[:, :kk]
+            return out_pids, out_scores
+
+        if self.backend == "sharded":
+            Q = jnp.asarray(self.encoder.encode_queries(list(queries)))
+            ncand = cfg.ncandidates if cfg.use_plaid_pruning else self.max_candidates
+            threshold = (
+                cfg.centroid_score_threshold if cfg.use_plaid_pruning else None
+            )
+            pids_b, scores_b = self.sharded_index.search_Q_batch(
+                Q, k=k, nprobe=cfg.nprobe, ncandidates=ncand,
+                cell_cap=self.cell_cap, max_candidates=self.max_candidates,
+                centroid_threshold=threshold,
             )
             kk = min(k, pids_b.shape[1])
             out_pids[:, :kk] = pids_b[:, :kk]
