@@ -131,12 +131,13 @@ class DeviceIndex:
         self, Q: jax.Array, *, k: int, nprobe: int, ncandidates: int,
         cell_cap: int = 1024, max_candidates: int = 8192,
         centroid_threshold: float | None = None,
+        use_pallas: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """One pre-encoded query (Q: (Lq, dim)) -> (pids (k,), scores (k,))."""
         pids, scores = self.search_Q_batch(
             Q[None], k=k, nprobe=nprobe, ncandidates=ncandidates,
             cell_cap=cell_cap, max_candidates=max_candidates,
-            centroid_threshold=centroid_threshold,
+            centroid_threshold=centroid_threshold, use_pallas=use_pallas,
         )
         return pids[0], scores[0]
 
@@ -144,6 +145,7 @@ class DeviceIndex:
         self, Q: jax.Array, *, k: int, nprobe: int, ncandidates: int,
         cell_cap: int = 1024, max_candidates: int = 8192,
         centroid_threshold: float | None = None,
+        use_pallas: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Pre-encoded queries (B, Lq, dim) -> (pids (B, k), scores (B, k))."""
         B, Lq, _ = Q.shape
@@ -159,7 +161,7 @@ class DeviceIndex:
             max_doclen=self.max_doclen,
             k=k_eff, nprobe=nprobe, ncandidates=ncand,
             cell_cap=cell_cap, max_candidates=mc,
-            centroid_threshold=centroid_threshold,
+            centroid_threshold=centroid_threshold, use_pallas=use_pallas,
         )
         return self._postprocess(
             np.asarray(pids), np.asarray(scores), np.asarray(overflow), k
@@ -170,6 +172,7 @@ class DeviceIndex:
         *, k: int, nprobe: int, ncandidates: int,
         cell_cap: int = 1024, max_candidates: int = 8192,
         centroid_threshold: float | None = None,
+        use_pallas: bool = False,
         dtype_name: str = "bfloat16",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Fully fused serving path: query token ids -> (pids, scores) in ONE
@@ -188,7 +191,7 @@ class DeviceIndex:
             max_doclen=self.max_doclen,
             k=k_eff, nprobe=nprobe, ncandidates=ncand,
             cell_cap=cell_cap, max_candidates=mc,
-            centroid_threshold=centroid_threshold,
+            centroid_threshold=centroid_threshold, use_pallas=use_pallas,
         )
         return self._postprocess(
             np.asarray(pids), np.asarray(scores), np.asarray(overflow), k
@@ -226,6 +229,7 @@ def _search_core(
     *, sentinel_pid: int, nbits: int, max_doclen: int,
     k: int, nprobe: int, ncandidates: int, cell_cap: int, max_candidates: int,
     centroid_threshold: float | None = None,
+    use_pallas: bool = False,
 ):
     Lq, dim = Q.shape
     sentinel_eid = codes.shape[0] - 1
@@ -295,7 +299,7 @@ def _search_core(
     fin_valid = tok_valid[keep_rows]
     scores = _stage2_scores(
         Q, codes, residuals, centroids, bucket_weights,
-        fin_tok_idx, fin_valid, nbits=nbits,
+        fin_tok_idx, fin_valid, nbits=nbits, use_pallas=use_pallas,
     )
     scores = jnp.where(fin_pids == sentinel_pid, NEG, scores)
 
@@ -328,16 +332,48 @@ def _approx_maxsim(cscores, codes, tok_idx, tok_valid, *, chunk: int = 256):
 
 def _stage2_scores(
     Q, codes, residuals, centroids, bucket_weights, tok_idx, tok_valid,
-    *, nbits: int, chunk: int = 128,
+    *, nbits: int, chunk: int = 128, use_pallas: bool = False,
 ):
     """Fused decompress+MaxSim, chunked over candidates so the fp32
-    embeddings of only ``chunk`` passages are ever live."""
+    embeddings of only ``chunk`` passages are ever live.
+
+    ``use_pallas`` routes each chunk through the pallas kernel
+    (:mod:`colbert_tpu.ops.fused_maxsim`): bit-unpack + bucket decode +
+    centroid-add + renorm + dot + token-max on VMEM tiles, never writing the
+    decompressed fp32 embeddings to HBM (measured ~2.4x over the XLA path on
+    v5e, and exact to ~1e-6 where XLA's fp32 einsum carries bf16-pass error).
+    """
     NC, Ld = tok_idx.shape
     Lq, dim = Q.shape
     nchunks = max(1, -(-NC // chunk))
     padded = nchunks * chunk
     idx_p = jnp.pad(tok_idx, ((0, padded - NC), (0, 0))).reshape(nchunks, chunk, Ld)
     valid_p = jnp.pad(tok_valid, ((0, padded - NC), (0, 0))).reshape(nchunks, chunk, Ld)
+
+    if use_pallas:
+        from colbert_tpu.ops.fused_maxsim import stage2_maxsim_pallas
+
+        Lq_pad = -(-Lq // 8) * 8
+        Qp = jnp.pad(Q.astype(jnp.float32), ((0, Lq_pad - Lq), (0, 0)))
+        ldb = 8 if Ld % 8 == 0 else Ld
+
+        def one_pl(args):
+            ti, v = args
+            flat = ti.reshape(chunk * Ld)
+            cent_rows = centroids[codes[flat].astype(jnp.int32)].reshape(
+                chunk, Ld, dim
+            )
+            pk = residuals[flat].reshape(chunk, Ld, -1)
+            per_q = stage2_maxsim_pallas(
+                Qp, cent_rows, pk, v, bucket_weights, nbits=nbits,
+                bc=chunk, ldb=ldb,
+            )[:Lq]                                   # (Lq, chunk)
+            any_tok = jnp.any(v, axis=-1)[None, :]
+            per_q = jnp.where(any_tok, per_q, 0.0)
+            return jnp.sum(per_q, axis=0)            # (chunk,)
+
+        out = jax.lax.map(one_pl, (idx_p, valid_p))
+        return out.reshape(padded)[:NC]
 
     def one(args):
         ti, v = args
@@ -358,7 +394,7 @@ def _stage2_scores(
 
 _STATIC = (
     "sentinel_pid", "nbits", "max_doclen", "k", "nprobe", "ncandidates",
-    "cell_cap", "max_candidates", "centroid_threshold",
+    "cell_cap", "max_candidates", "centroid_threshold", "use_pallas",
 )
 
 

@@ -118,6 +118,13 @@ class Searcher:
 
         cfg = self.config
         logger = logging.getLogger(__name__)
+        # pallas fused decompress+MaxSim for stage-2 (TPU only; ~2.4x the
+        # XLA path and higher fp32 accuracy — see ops/fused_maxsim.py)
+        from colbert_tpu.ops.fused_maxsim import pallas_stage2_supported
+
+        self._stage2_pallas = bool(cfg.use_pallas) and pallas_stage2_supported(
+            cfg.nbits, cfg.dim
+        )
         max_ivf = int(self.ivf_lengths.max()) if len(self.ivf_lengths) else 1
         if cfg.search_cell_cap is not None:
             self.cell_cap = int(cfg.search_cell_cap)
@@ -171,6 +178,7 @@ class Searcher:
                 k=k, nprobe=cfg.nprobe, ncandidates=ncand,
                 cell_cap=self.cell_cap, max_candidates=self.max_candidates,
                 centroid_threshold=threshold,
+                use_pallas=self._stage2_pallas,
                 dtype_name=cfg.activation_dtype,
             )
             kk = min(k, pids_b.shape[1])
