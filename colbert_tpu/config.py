@@ -86,6 +86,12 @@ class ColBERTConfig:
     # (each query token's best cell is always kept); None disables cell
     # pruning. PLAID's default operating point is 0.45 (PAPERS.md).
     centroid_score_threshold: float | None = 0.45
+    # candidates that survive stage-1 (centroid-only scoring) into the full
+    # decompress+MaxSim stage-2. None = max(16*k, 1024), PLAID's operating
+    # point; stage-2 is the gather-bandwidth-bound stage, so this is the
+    # latency/recall dial. Ignored when use_plaid_pruning is off (everything
+    # is fully scored).
+    plaid_stage2_docs: int | None = None
     # device-search capacity knobs (static shapes of the jitted search
     # program). None = auto-size from the index: cell_cap from the largest
     # IVF cell, max_candidates from the passage count — exact but memory-

@@ -201,11 +201,15 @@ class DeviceIndex:
         B = pids.shape[0]
         dropped = int(overflow.sum())
         if dropped > 0:
+            first = self.overflow_candidates == 0
             self.overflow_candidates += dropped
-            logger.warning(
+            # warn once per index; the running counter stays queryable
+            logger.log(
+                logging.WARNING if first else logging.DEBUG,
                 "candidate dedup overflow: %d candidates dropped "
                 "(lowest stage-0 scores; raise search_max_candidates "
-                "to score them)", dropped,
+                "to score them; total dropped: %d)",
+                dropped, self.overflow_candidates,
             )
         out_p = np.full((B, k), -1, np.int64)
         out_s = np.full((B, k), -np.inf, np.float32)
@@ -309,8 +313,13 @@ def _search_core(
 
 
 def _approx_maxsim(cscores, codes, tok_idx, tok_valid, *, chunk: int = 256):
-    """sum_q max_t cscores[q, code(token t)] over valid tokens, chunked."""
+    """sum_q max_t cscores[q, code(token t)] over valid tokens, chunked.
+
+    The (Lq, chunk, Ld) score gather dominates stage-1 HBM traffic; it is a
+    PRUNING stage, so the table is gathered in bf16 (halves the bytes; the
+    ~3 decimal digits it keeps dwarf the centroid-approximation error)."""
     MC, Ld = tok_idx.shape
+    cs16 = cscores.astype(jnp.bfloat16)
     nchunks = max(1, -(-MC // chunk))
     padded = nchunks * chunk
     idx_p = jnp.pad(tok_idx, ((0, padded - MC), (0, 0))).reshape(nchunks, chunk, Ld)
@@ -319,7 +328,7 @@ def _approx_maxsim(cscores, codes, tok_idx, tok_valid, *, chunk: int = 256):
     def one(args):
         ti, v = args
         c = codes[ti].astype(jnp.int32)         # (chunk, Ld)
-        s = cscores[:, c]                        # (Lq, chunk, Ld)
+        s = cs16[:, c].astype(jnp.float32)       # (Lq, chunk, Ld)
         s = jnp.where(v[None], s, NEG)
         per_q = jnp.max(s, axis=-1)              # (Lq, chunk)
         any_tok = jnp.any(v, axis=-1)[None]

@@ -110,10 +110,19 @@ class Searcher:
                 [[0], np.cumsum(self.doclens[:-1])]
             ).astype(np.int64) if len(self.doclens) else np.zeros((1,), np.int64)
 
+    # auto-capacity ceilings: the jitted search always pays its STATIC
+    # capacity, so exact sizing must not scale unboundedly with the corpus.
+    # Small indexes stay exact; past these ceilings the (score-ordered,
+    # counted) truncation kicks in and a one-time warning points at the
+    # config overrides.
+    AUTO_CELL_CAP_MAX = 4096
+    AUTO_MAX_CANDIDATES_MAX = 8192
+
     def _init_capacities(self) -> None:
         """Static capacities of the jitted search program. Auto mode sizes
-        them to make the probe EXACT (no truncation); explicit config values
-        trade recall for speed, with a warning when they truncate."""
+        them exactly (no truncation) up to a ceiling; explicit config values
+        trade recall for speed. Any truncation is warned about, and actual
+        overflow is counted at query time."""
         import logging
 
         cfg = self.config
@@ -128,18 +137,22 @@ class Searcher:
         max_ivf = int(self.ivf_lengths.max()) if len(self.ivf_lengths) else 1
         if cfg.search_cell_cap is not None:
             self.cell_cap = int(cfg.search_cell_cap)
-            if max_ivf > self.cell_cap:
-                logger.warning(
-                    "search_cell_cap=%d truncates IVF cells (largest has %d "
-                    "embeddings); recall may drop vs exhaustive probing",
-                    self.cell_cap, max_ivf,
-                )
         else:
-            self.cell_cap = max(32, -(-max_ivf // 32) * 32)
+            self.cell_cap = min(
+                self.AUTO_CELL_CAP_MAX, max(32, -(-max_ivf // 32) * 32)
+            )
+        if max_ivf > self.cell_cap:
+            logger.warning(
+                "cell_cap=%d truncates IVF cells (largest has %d embeddings); "
+                "recall may drop vs exhaustive probing — raise "
+                "config.search_cell_cap to widen",
+                self.cell_cap, max_ivf,
+            )
         if cfg.search_max_candidates is not None:
             self.max_candidates = int(cfg.search_max_candidates)
         else:
-            self.max_candidates = max(128, -(-(len(self.doclens) + 1) // 128) * 128)
+            exact = max(128, -(-(len(self.doclens) + 1) // 128) * 128)
+            self.max_candidates = min(self.AUTO_MAX_CANDIDATES_MAX, exact)
 
     # ------------------------------------------------------------------
 
@@ -169,10 +182,7 @@ class Searcher:
                 query_maxlen=cfg.query_maxlen,
                 attend_to_mask_tokens=cfg.attend_to_mask_tokens,
             )
-            ncand = cfg.ncandidates if cfg.use_plaid_pruning else self.max_candidates
-            threshold = (
-                cfg.centroid_score_threshold if cfg.use_plaid_pruning else None
-            )
+            ncand, threshold = self._stage_params(k)
             pids_b, scores_b = self.device_index.search_tokens_batch(
                 self.encoder.params, self.encoder.bert_config, ids, mask,
                 k=k, nprobe=cfg.nprobe, ncandidates=ncand,
@@ -188,10 +198,7 @@ class Searcher:
 
         if self.backend == "sharded":
             Q = jnp.asarray(self.encoder.encode_queries(list(queries)))
-            ncand = cfg.ncandidates if cfg.use_plaid_pruning else self.max_candidates
-            threshold = (
-                cfg.centroid_score_threshold if cfg.use_plaid_pruning else None
-            )
+            ncand, threshold = self._stage_params(k)
             pids_b, scores_b = self.sharded_index.search_Q_batch(
                 Q, k=k, nprobe=cfg.nprobe, ncandidates=ncand,
                 cell_cap=self.cell_cap, max_candidates=self.max_candidates,
@@ -213,7 +220,7 @@ class Searcher:
             )
             if len(pids) == 0:
                 continue
-            pids, scores = self._score_pids(Q[b : b + 1], pids)
+            pids, scores = self._score_pids(Q[b : b + 1], pids, k)
             order = np.argsort(-scores)[:k]
             kk = len(order)
             out_pids[b, :kk] = pids[order]
@@ -222,12 +229,27 @@ class Searcher:
 
     # ------------------------------------------------------------------
 
+    def _stage_params(self, k: int) -> Tuple[int, float | None]:
+        """(stage-2 doc budget, stage-1 cell threshold) for a top-k search.
+
+        Stage-2 (full decompress+MaxSim) is the gather-bandwidth-bound
+        stage; with pruning on, only ``plaid_stage2_docs`` (default
+        ``max(16k, 1024)`` — PLAID's operating point) survivors of the
+        centroid-only stage-1 are fully scored.
+        """
+        cfg = self.config
+        if not cfg.use_plaid_pruning:
+            return self.max_candidates, None
+        ndocs = cfg.plaid_stage2_docs or max(16 * k, 1024)
+        return min(cfg.ncandidates, ndocs), cfg.centroid_score_threshold
+
     def _score_pids(
-        self, Qb: jnp.ndarray, pids: np.ndarray
+        self, Qb: jnp.ndarray, pids: np.ndarray, k: int = 10
     ) -> Tuple[np.ndarray, np.ndarray]:
         cfg = self.config
-        # PLAID stage 1: centroid-only scores, keep top ncandidates
-        if cfg.use_plaid_pruning and len(pids) > cfg.ncandidates:
+        ndocs, _ = self._stage_params(k)
+        # PLAID stage 1: centroid-only scores, keep the stage-2 doc budget
+        if cfg.use_plaid_pruning and len(pids) > ndocs:
             idx, mask = ranking.gather_padded(
                 pids, self.doclens, self.emb_offsets
             )
@@ -236,7 +258,7 @@ class Searcher:
                     Qb, jnp.asarray(self.codes[idx]), jnp.asarray(mask), self.centroids
                 )
             )[0, : len(pids)]
-            keep = np.argsort(-approx)[: cfg.ncandidates]
+            keep = np.argsort(-approx)[:ndocs]
             pids = pids[np.sort(keep)]
 
         idx, mask = ranking.gather_padded(pids, self.doclens, self.emb_offsets)
