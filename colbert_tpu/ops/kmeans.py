@@ -40,6 +40,17 @@ class KMeansResult(NamedTuple):
     shift: float  # final max-abs centroid delta
 
 
+def _adaptive_bsize(k: int, requested: int) -> int:
+    """Row-chunk size capped so the (bsize, k) fp32 score tile stays ≤64MB.
+
+    At the 2^17–2^18 partition counts large corpora plan for (SURVEY §7), a
+    fixed bsize=1024 tile is 0.5–1GB and serializes the scan; shrinking the
+    chunk keeps the tile resident while the matmul stays MXU-sized.
+    """
+    cap = (64 << 20) // (4 * max(1, k))
+    return max(64, min(requested, (cap // 64) * 64))
+
+
 @functools.partial(jax.jit, static_argnames=("bsize",))
 def assign_clusters(
     data: jax.Array, centroids: jax.Array, *, bsize: int = 1024
@@ -49,6 +60,7 @@ def assign_clusters(
     Reference: utils.jl:71-79 (argmin assignment kernel).
     """
     n, dim = data.shape
+    bsize = _adaptive_bsize(centroids.shape[0], bsize)
     nchunks = max(1, -(-n // bsize))
     padded = nchunks * bsize
     data_p = jnp.pad(data, ((0, padded - n), (0, 0))).reshape(nchunks, bsize, dim)
@@ -81,6 +93,7 @@ def lloyd_stats(
     shards carry global padding.
     """
     n, dim = data.shape
+    bsize = _adaptive_bsize(k, bsize)
     nchunks = max(1, -(-n // bsize))
     padded = nchunks * bsize
     data_p = jnp.pad(data, ((0, padded - n), (0, 0))).reshape(nchunks, bsize, dim)

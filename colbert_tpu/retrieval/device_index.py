@@ -7,10 +7,11 @@ scarce resources, so the entire index lives in HBM and a *batch* of queries
 is ONE jitted program — query BERT encode included:
 
     tokenize (host) -> [one program: BERT query encode -> centroid scores ->
-    top-nprobe cells -> padded IVF gather -> on-device pid dedup (sort +
-    first-occurrence compaction) -> PLAID stage-1 centroid-only scoring ->
-    top-ncandidates -> chunked fused decompress + MaxSim -> final top-k]
-    -> (B, k) pids + scores back to host
+    top-nprobe cells (+ PLAID cell-score pruning) -> padded IVF gather ->
+    on-device pid dedup fused with gather-free stage-1 ranking (per-pid
+    sum of per-query-token probed-entry maxima, WARP/XTR-style imputation)
+    -> top-ncandidates -> chunked pallas fused decompress + MaxSim ->
+    final top-k] -> (B, k) pids + scores back to host
 
 All shapes are static (``nprobe``, per-cell cap, dedup capacity, stage-2
 ``ncandidates``, padded doc length, ``k``), so the pipeline compiles once
@@ -263,44 +264,70 @@ def _search_core(
     valid = ar[None, :] < lens[:, None]
     eids = jnp.where(valid, ivf[idx], sentinel_eid)             # (ncells, cell_cap)
 
-    # --- 3. on-device pid dedup, score-ordered ---
-    # Each surviving entry carries its originating cell's centroid score;
-    # dedup keeps per-pid maxima and truncation to ``max_candidates`` drops
-    # the LOWEST-scored candidates (never arbitrary pid-order victims), with
-    # the overflow counted and surfaced to the caller.
+    # --- 3+4. on-device pid dedup + stage-1 ranking, gather-free ---
+    # Every IVF entry already carries its originating cell's centroid score
+    # for its probing query token, so the PLAID stage-1 approximation can be
+    # built WITHOUT gathering candidate token codes (the gather was the
+    # serving bottleneck: TPU scalar gathers run ~100x below HBM peak).
+    # Per candidate: sum over query tokens of the max probed-entry score,
+    # with unprobed tokens imputed at their nprobe-th probe score — an
+    # admissible upper bound (any unprobed cell scores below the nprobe-th),
+    # the WARP/XTR missing-token imputation. The imputation constant is
+    # candidate-independent, so ranking only needs the non-negative
+    # adjusted contributions (score − impute[q]).
     flat_pids = emb2pid[eids.reshape(-1)]                       # (E,)
-    flat_score = jnp.broadcast_to(entry_score[:, None], valid.shape).reshape(-1)
-    flat_score = jnp.where(valid.reshape(-1), flat_score, NEG)
-    ord1 = jnp.argsort(-flat_score)                              # score desc
-    p1, s1 = flat_pids[ord1], flat_score[ord1]
-    ord2 = jnp.argsort(p1, stable=True)                          # pid groups,
-    p2, s2 = p1[ord2], s1[ord2]                                  # scores desc inside
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), p2[1:] != p2[:-1]]
+    impute = probe_scores[:, nprobe - 1]                         # (Lq,)
+    q_of = jax.lax.broadcasted_iota(jnp.int32, (Lq, nprobe), 0).reshape(-1)
+    entry_adj = entry_score - impute[q_of]                       # ≥ 0
+    flat_adj = jnp.broadcast_to(entry_adj[:, None], valid.shape).reshape(-1)
+    flat_adj = jnp.where(valid.reshape(-1), flat_adj, NEG)
+    flat_q = jnp.broadcast_to(q_of[:, None], valid.shape).reshape(-1)
+
+    # sort entries to (pid asc, q asc, adj desc). When pids fit in 16 bits
+    # this is ONE int32 composite-key sort (pid | q | quantized -adj; the
+    # 10-bit adj quantization only picks WHICH near-max entry represents a
+    # (pid, q) pair — the carried value stays exact); otherwise a float
+    # (q, -adj) sort followed by a stable pid sort.
+    if sentinel_pid < (1 << 16) and Lq <= 32:
+        adj_q = jnp.clip(flat_adj * 511.5, 0, 1023).astype(jnp.int32)
+        key = (flat_pids.astype(jnp.int32) << 15) | (flat_q << 10) | (1023 - adj_q)
+        ord2 = jnp.argsort(key)
+        p2, a2, q2 = flat_pids[ord2], flat_adj[ord2], flat_q[ord2]
+    else:
+        ord1 = jnp.argsort(flat_q.astype(jnp.float32) * 4.0 - flat_adj)
+        p1, a1, q1 = flat_pids[ord1], flat_adj[ord1], flat_q[ord1]
+        ord2 = jnp.argsort(p1, stable=True)
+        p2, a2, q2 = p1[ord2], a1[ord2], q1[ord2]
+
+    changed = jnp.concatenate(
+        [jnp.ones((1,), bool), (p2[1:] != p2[:-1]) | (q2[1:] != q2[:-1])]
     )
-    first &= p2 != sentinel_pid
+    first_p = jnp.concatenate([jnp.ones((1,), bool), p2[1:] != p2[:-1]])
+    real = p2 != sentinel_pid
+    first_pq = changed & real
+    first = first_p & real
     n_unique = jnp.sum(first)
     overflow = jnp.maximum(0, n_unique - max_candidates)
-    ord3 = jnp.argsort(jnp.where(first, -s2, jnp.inf))          # best firsts lead
-    cand = jnp.where(first[ord3], p2[ord3], sentinel_pid)
-    cand = cand[:max_candidates]                                 # (MC,)
 
-    # --- 4. stage-1: centroid-only approximate MaxSim (PLAID) ---
-    dl = doclens[cand]                                           # (MC,)
-    off = emb_offsets[cand]
-    arl = jnp.arange(max_doclen, dtype=jnp.int32)
-    tok_idx = off[:, None] + jnp.minimum(arl[None, :], jnp.maximum(dl[:, None] - 1, 0))
-    tok_valid = arl[None, :] < dl[:, None]                       # (MC, Ld)
-    tok_idx = jnp.where(tok_valid, tok_idx, sentinel_eid)
+    # per-pid stage-1 score = segment-sum of per-(pid, q) maxima
+    seg = jnp.cumsum(first_p) - 1                                # (E,)
+    contrib = jnp.where(first_pq, jnp.maximum(a2, 0.0), 0.0)
+    seg_sum = jax.ops.segment_sum(contrib, seg, num_segments=p2.shape[0])
+    stage1 = jnp.where(first, seg_sum[seg], NEG)                 # (E,)
 
-    approx = _approx_maxsim(cscores, codes, tok_idx, tok_valid)  # (MC,)
-    approx = jnp.where(cand == sentinel_pid, NEG, approx)
-    _, keep_rows = jax.lax.top_k(approx, ncandidates)            # (NC,)
+    # exact top-ncandidates (cheaper than a full argsort of E entries)
+    top_vals, top_idx = jax.lax.top_k(stage1, ncandidates)
+    fin_pids = jnp.where(top_vals > NEG / 2, p2[top_idx], sentinel_pid)
 
     # --- 5. stage-2: chunked fused decompress + MaxSim on survivors ---
-    fin_pids = cand[keep_rows]
-    fin_tok_idx = tok_idx[keep_rows]                             # (NC, Ld)
-    fin_valid = tok_valid[keep_rows]
+    dl = doclens[fin_pids]                                        # (NC,)
+    off = emb_offsets[fin_pids]
+    arl = jnp.arange(max_doclen, dtype=jnp.int32)
+    fin_tok_idx = off[:, None] + jnp.minimum(
+        arl[None, :], jnp.maximum(dl[:, None] - 1, 0)
+    )
+    fin_valid = arl[None, :] < dl[:, None]                        # (NC, Ld)
+    fin_tok_idx = jnp.where(fin_valid, fin_tok_idx, sentinel_eid)
     scores = _stage2_scores(
         Q, codes, residuals, centroids, bucket_weights,
         fin_tok_idx, fin_valid, nbits=nbits, use_pallas=use_pallas,
@@ -310,33 +337,6 @@ def _search_core(
     # --- 6. final top-k ---
     top_scores, top_rows = jax.lax.top_k(scores, k)
     return fin_pids[top_rows], top_scores, overflow
-
-
-def _approx_maxsim(cscores, codes, tok_idx, tok_valid, *, chunk: int = 256):
-    """sum_q max_t cscores[q, code(token t)] over valid tokens, chunked.
-
-    The (Lq, chunk, Ld) score gather dominates stage-1 HBM traffic; it is a
-    PRUNING stage, so the table is gathered in bf16 (halves the bytes; the
-    ~3 decimal digits it keeps dwarf the centroid-approximation error)."""
-    MC, Ld = tok_idx.shape
-    cs16 = cscores.astype(jnp.bfloat16)
-    nchunks = max(1, -(-MC // chunk))
-    padded = nchunks * chunk
-    idx_p = jnp.pad(tok_idx, ((0, padded - MC), (0, 0))).reshape(nchunks, chunk, Ld)
-    valid_p = jnp.pad(tok_valid, ((0, padded - MC), (0, 0))).reshape(nchunks, chunk, Ld)
-
-    def one(args):
-        ti, v = args
-        c = codes[ti].astype(jnp.int32)         # (chunk, Ld)
-        s = cs16[:, c].astype(jnp.float32)       # (Lq, chunk, Ld)
-        s = jnp.where(v[None], s, NEG)
-        per_q = jnp.max(s, axis=-1)              # (Lq, chunk)
-        any_tok = jnp.any(v, axis=-1)[None]
-        per_q = jnp.where(any_tok, per_q, 0.0)
-        return jnp.sum(per_q, axis=0)            # (chunk,)
-
-    out = jax.lax.map(one, (idx_p, valid_p))
-    return out.reshape(padded)[:MC]
 
 
 def _stage2_scores(
