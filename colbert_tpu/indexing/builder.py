@@ -32,6 +32,7 @@ from colbert_tpu.indexing.planner import sample_pids, setup_plan
 from colbert_tpu.models.encoder import ColBERTEncoder
 from colbert_tpu.ops import codec as codec_ops
 from colbert_tpu.storage import format as fmt
+from colbert_tpu.storage.collection import Collection
 from colbert_tpu.utils.tracing import Tracer
 
 logger = logging.getLogger(__name__)
@@ -39,24 +40,21 @@ logger = logging.getLogger(__name__)
 __all__ = ["Indexer", "index", "load_collection", "build_ivf"]
 
 
-def load_collection(path_or_list) -> list[str]:
+def load_collection(path_or_list):
     """Collection input: list of passages, or a file path.
 
     ``.tsv`` files use the LoTTe/MS MARCO convention ``pid\\ttext[\\t...]``
     (reference example: examples/indexing.jl reads sample_collection.tsv);
     other files are one passage per line (reference: indexing.jl:28-29).
+    File inputs return a byte-backed :class:`Collection` (mmap + vectorized
+    offset scan; no per-passage Python strings until asked) that quacks like
+    ``list[str]`` and feeds the native tokenizer zero-decode.
     """
     if isinstance(path_or_list, (list, tuple)):
         return list(path_or_list)
-    passages = []
-    is_tsv = str(path_or_list).endswith(".tsv")
-    with open(path_or_list, encoding="utf-8") as f:
-        for line in f:
-            line = line.rstrip("\n")
-            if not line:
-                continue
-            passages.append(line.split("\t", 2)[1] if is_tsv else line)
-    return passages
+    if isinstance(path_or_list, Collection):
+        return path_or_list
+    return Collection.from_file(str(path_or_list))
 
 
 def build_ivf(codes: np.ndarray, num_partitions: int) -> tuple[np.ndarray, np.ndarray]:
@@ -201,9 +199,13 @@ def _build(
     # device<->host link.
     pids = sample_pids(n, rng)
     logger.info("sampling %d/%d passages for clustering", len(pids), n)
+    sampled = (
+        passages.take(pids) if isinstance(passages, Collection)
+        else [passages[p] for p in pids]
+    )
     with tracer.phase("sample_encode"):
         sample_embs, sample_valid, sample_doclens = encoder.encode_passages_to_device(
-            [passages[p] for p in pids]
+            sampled
         )
     avg_doclen_est = float(sample_doclens.mean()) if len(sample_doclens) else 0.0
 

@@ -166,8 +166,10 @@ class ColBERTEncoder:
             jax.device_put(keep, self._data_sharding),
         )
 
-    def tokenize_batch(self, texts: Sequence[str]) -> list[list[int]]:
-        return self._native_tok.encode_batch(list(texts))
+    def tokenize_batch(self, texts) -> list[list[int]]:
+        # lists and byte-backed Collections both pass straight through
+        # (Collections take the native zero-decode blob path)
+        return self._native_tok.encode_batch(texts)
 
     def _flash_for(self, padded_len: int) -> bool:
         """Per-batch routing: pallas flash only where it beats XLA."""
@@ -249,7 +251,7 @@ class ColBERTEncoder:
             for start in range(0, ghi - glo, bsize):
                 idx = order[start : start + bsize]
                 ids, mask = tensorize_docs(
-                    [passages[i] for i in idx],
+                    (),  # texts unused: tensorize consumes pre-tokenized ids
                     self.tokenizer,
                     doc_token_id=self.doc_token_id,
                     doc_maxlen=cfg.doc_maxlen,

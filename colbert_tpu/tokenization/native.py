@@ -90,13 +90,23 @@ class NativeWordPiece:
     def available(self) -> bool:
         return self.handle is not None
 
-    def encode_batch(self, texts: list[str]) -> list[list[int]]:
-        if not self.available or not texts:
-            return self.tokenizer.encode_batch(texts)
-        encoded = [t.encode("utf-8") for t in texts]
-        offsets = np.zeros(len(texts) + 1, np.int64)
-        np.cumsum([len(e) for e in encoded], out=offsets[1:])
-        blob = b"".join(encoded)
+    def encode_batch(self, texts) -> list[list[int]]:
+        """Tokenize a list[str] OR a byte-backed ``Collection`` (the latter
+        skips the per-text str decode/encode round-trip entirely — bytes go
+        from the mmap'd file straight into the C++ tokenizer)."""
+        from colbert_tpu.storage.collection import Collection
+
+        if not self.available or not len(texts):
+            return self.tokenizer.encode_batch(
+                list(texts) if isinstance(texts, Collection) else texts
+            )
+        if isinstance(texts, Collection):
+            blob, offsets = texts.batch_blob()
+        else:
+            encoded = [t.encode("utf-8") for t in texts]
+            offsets = np.zeros(len(texts) + 1, np.int64)
+            np.cumsum([len(e) for e in encoded], out=offsets[1:])
+            blob = b"".join(encoded)
         out_ids = np.empty((len(texts), self.max_tokens), np.int32)
         out_lens = np.empty(len(texts), np.int32)
         self.lib.wp_encode_batch(
