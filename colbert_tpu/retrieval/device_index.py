@@ -309,9 +309,16 @@ def _search_core(
     n_unique = jnp.sum(first)
     overflow = jnp.maximum(0, n_unique - max_candidates)
 
-    # per-pid stage-1 score = segment-sum of per-(pid, q) maxima
+    # per-pid stage-1 score = segment-sum of per-(pid, q) maxima. Ranking
+    # uses the MIDPOINT of the probed bounds: the upper bound imputes every
+    # unprobed query token at its nprobe-th probe score (candidate-
+    # independent constant => contribution s - impute_q), the lower bound
+    # imputes 0 (contribution s). The midpoint tracks PLAID's full centroid
+    # stage-1 better than either bound and keeps the hit-count signal that
+    # the pure upper bound loses entirely at nprobe=1.
     seg = jnp.cumsum(first_p) - 1                                # (E,)
-    contrib = jnp.where(first_pq, jnp.maximum(a2, 0.0), 0.0)
+    half_imp = jnp.maximum(impute, 0.0)[q2] * 0.5
+    contrib = jnp.where(first_pq, jnp.maximum(a2, 0.0) + half_imp, 0.0)
     seg_sum = jax.ops.segment_sum(contrib, seg, num_segments=p2.shape[0])
     stage1 = jnp.where(first, seg_sum[seg], NEG)                 # (E,)
 
