@@ -50,6 +50,10 @@ def train_codec(
             kmeans_niters=kmeans_niters, seed=seed,
             sample_weights=sample_weights, init_idx=init_idx, tol=tol,
         )
+    # bucket the sample row count so the Lloyd/quantile program shapes recur
+    # across corpora (every distinct sample size is otherwise a fresh XLA
+    # compile — measured ~60s at 7M rows); padding rows carry zero weight
+    sample, sample_weights = _bucket_rows(sample, sample_weights)
     result = kmeans_ops.kmeans(
         jnp.asarray(sample),
         num_partitions,
@@ -65,6 +69,25 @@ def train_codec(
     residuals = heldout - centroids[codes.astype(jnp.int32)]
     cutoffs, weights, avg = codec_ops.bucket_cutoffs_and_weights(nbits, residuals)
     return centroids, cutoffs, weights, float(avg)
+
+
+def _bucket_rows(sample, weights, *, bucket_frac: float = 1 / 16):
+    """Pad rows to a coarse geometric bucket (next multiple of n/16, min 4096)
+    so jitted-program shapes recur; padding rows get zero weight."""
+    sample = jnp.asarray(sample)
+    n = sample.shape[0]
+    step = max(4096, 1 << max(0, (n - 1).bit_length() - 4))
+    padded = -(-n // step) * step
+    if padded == n and weights is not None:
+        return sample, jnp.asarray(weights)
+    w = (
+        jnp.ones((n,), jnp.float32) if weights is None
+        else jnp.asarray(weights, jnp.float32)
+    )
+    if padded != n:
+        sample = jnp.pad(sample, ((0, padded - n), (0, 0)))
+        w = jnp.pad(w, (0, padded - n))
+    return sample, w
 
 
 def _train_codec_sharded(
