@@ -297,7 +297,13 @@ class ColBERTEncoder:
             )
             B, L, dim = emb.shape  # B includes mesh padding rows (valid=False)
             flats.append(emb.reshape(B * L, dim))
-            valids.append(np.asarray(keep_d).reshape(B * L))
+            # the keep mask is host-born: pad it locally instead of reading
+            # keep_d back (a per-batch D2H round-trip costs ~100ms of tunnel
+            # latency; over a 200-batch sample that was ~20s of pure sync)
+            keep_h = keep if keep.shape[0] == B else np.pad(
+                keep, ((0, B - keep.shape[0]), (0, 0))
+            )
+            valids.append(keep_h.reshape(B * L))
             doclens[idx] = keep.sum(axis=1)
         flat = flats[0] if len(flats) == 1 else jnp.concatenate(flats, axis=0)
         return flat, np.concatenate(valids), doclens
