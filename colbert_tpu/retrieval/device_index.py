@@ -283,18 +283,17 @@ def _search_core(
     flat_adj = jnp.where(valid.reshape(-1), flat_adj, NEG)
     flat_q = jnp.broadcast_to(q_of[:, None], valid.shape).reshape(-1)
 
-    # sort entries to (pid asc, q asc, adj desc). When pids fit in 16 bits
-    # this is ONE int32 composite-key sort (pid | q | quantized -adj; the
-    # 10-bit adj quantization only picks WHICH near-max entry represents a
-    # (pid, q) pair — the carried value stays exact); otherwise a float
-    # (q, -adj) sort followed by a stable pid sort.
-    if sentinel_pid < (1 << 16) and Lq <= 32:
-        adj_q = jnp.clip(flat_adj * 511.5, 0, 1023).astype(jnp.int32)
-        key = (flat_pids.astype(jnp.int32) << 15) | (flat_q << 10) | (1023 - adj_q)
+    # sort entries by (pid, q): ONE int32 composite-key sort (scores stay
+    # OUT of the key — per-(pid, q) maxima come from a segment_max after the
+    # sort), valid for corpora up to 2^31 / next_pow2(Lq) passages (67M at
+    # Lq=32); beyond that, a float q-sort + stable pid sort.
+    qbits = max(1, (Lq - 1).bit_length())
+    if sentinel_pid < (1 << (31 - qbits)):
+        key = (flat_pids.astype(jnp.int32) << qbits) | flat_q
         ord2 = jnp.argsort(key)
         p2, a2, q2 = flat_pids[ord2], flat_adj[ord2], flat_q[ord2]
     else:
-        ord1 = jnp.argsort(flat_q.astype(jnp.float32) * 4.0 - flat_adj)
+        ord1 = jnp.argsort(flat_q.astype(jnp.float32))
         p1, a1, q1 = flat_pids[ord1], flat_adj[ord1], flat_q[ord1]
         ord2 = jnp.argsort(p1, stable=True)
         p2, a2, q2 = p1[ord2], a1[ord2], q1[ord2]
@@ -316,10 +315,15 @@ def _search_core(
     # imputes 0 (contribution s). The midpoint tracks PLAID's full centroid
     # stage-1 better than either bound and keeps the hit-count signal that
     # the pure upper bound loses entirely at nprobe=1.
+    E = p2.shape[0]
+    seg_pq = jnp.cumsum(changed) - 1                             # (E,)
+    pq_max = jax.ops.segment_max(a2, seg_pq, num_segments=E)
     seg = jnp.cumsum(first_p) - 1                                # (E,)
     half_imp = jnp.maximum(impute, 0.0)[q2] * 0.5
-    contrib = jnp.where(first_pq, jnp.maximum(a2, 0.0) + half_imp, 0.0)
-    seg_sum = jax.ops.segment_sum(contrib, seg, num_segments=p2.shape[0])
+    contrib = jnp.where(
+        first_pq, jnp.maximum(pq_max[seg_pq], 0.0) + half_imp, 0.0
+    )
+    seg_sum = jax.ops.segment_sum(contrib, seg, num_segments=E)
     stage1 = jnp.where(first, seg_sum[seg], NEG)                 # (E,)
 
     # exact top-ncandidates (cheaper than a full argsort of E entries)
