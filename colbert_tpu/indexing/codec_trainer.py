@@ -131,20 +131,18 @@ def _train_codec_sharded(
     codes = codec_ops.compress_into_codes(heldout, centroids)
     residuals = heldout - centroids[codes.astype(jnp.int32)]
 
-    # distributed quantiles over the (row-sharded) heldout residuals
+    # distributed quantiles over the (row-sharded) heldout residuals —
+    # cutoffs and weights come from ONE histogram pass (qs are arbitrary)
     num_options = 1 << nbits
     base = np.arange(num_options, dtype=np.float64) / num_options
     m = residuals.shape[0]
     m_pad = -(-m // ndev) * ndev
     w_h = jnp.pad(jnp.ones((m,), jnp.float32), (0, m_pad - m))
     res_pad = jnp.pad(residuals, ((0, m_pad - m), (0, 0)))
-    cutoffs, _ = sharded_quantiles(
-        res_pad, np.asarray(base[1:], np.float32), mesh, weights=w_h
-    )
-    bweights, avg = sharded_quantiles(
-        res_pad, np.asarray(base + 0.5 / num_options, np.float32), mesh,
-        weights=w_h,
-    )
+    qs = np.concatenate([base[1:], base + 0.5 / num_options]).astype(np.float32)
+    values, avg = sharded_quantiles(res_pad, qs, mesh, weights=w_h)
+    cutoffs = values[: num_options - 1]
+    bweights = values[num_options - 1:]
     return (
         centroids,
         cutoffs.astype(jnp.float32),

@@ -179,6 +179,31 @@ class ColBERTEncoder:
             and padded_len % 128 == 0
         )
 
+    def _pipeline_batches(self, passages, dispatch):
+        """Shared async encode pipeline: dispatch every doc batch, keep at
+        most ``MAX_INFLIGHT`` outputs on device (async host copies started at
+        dispatch), slice off mesh-padding rows at drain.
+
+        ``dispatch(idx, ids, mask, keep) -> tuple of device arrays`` with a
+        leading batch dim. -> (drained [(idx, keep, host arrays...)], doclens).
+        """
+        doclens = np.zeros((len(passages),), np.int64)
+
+        def drain(item):
+            idx, keep, outs = item
+            return (idx, keep, *(np.asarray(o)[: len(idx)] for o in outs))
+
+        drained, pending = [], []
+        for idx, ids, mask, keep in self._doc_batches(passages):
+            outs = dispatch(idx, ids, mask, keep)
+            doclens[idx] = keep.sum(axis=1)
+            _start_host_copy(*outs)
+            pending.append((idx, keep, outs))
+            if len(pending) > MAX_INFLIGHT:
+                drained.append(drain(pending.pop(0)))
+        drained.extend(drain(p) for p in pending)
+        return drained, doclens
+
     @property
     def dim(self) -> int:
         return self.params["linear"]["kernel"].shape[1]
@@ -200,28 +225,16 @@ class ColBERTEncoder:
         if n == 0:
             return np.zeros((0, self.dim), np.float32), np.zeros((0,), np.int64)
 
-        doclens = np.zeros((n,), np.int64)
-        drained: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-        pending: list[tuple[np.ndarray, np.ndarray, jax.Array]] = []
-        for idx, ids, mask, keep in self._doc_batches(passages):
+        def dispatch(idx, ids, mask, keep):
             ids_d, mask_d, keep_d = self._put_batch(ids, mask, keep)
-            emb_dev = encode_batch(
-                self.params,
-                ids_d,
-                mask_d,
-                keep_d,
+            return (encode_batch(
+                self.params, ids_d, mask_d, keep_d,
                 cfg=self.bert_config,
                 dtype_name=cfg.activation_dtype,
                 use_flash=self._flash_for(ids.shape[1]),
-            )
-            doclens[idx] = keep.sum(axis=1)
-            _start_host_copy(emb_dev)
-            pending.append((idx, keep, emb_dev))
-            if len(pending) > MAX_INFLIGHT:
-                idx0, keep0, dev0 = pending.pop(0)
-                drained.append((idx0, keep0, np.asarray(dev0)[: len(idx0)]))
-        drained.extend((i, kp, np.asarray(d)[: len(i)]) for i, kp, d in pending)
+            ),)
 
+        drained, doclens = self._pipeline_batches(passages, dispatch)
         dest_offsets = np.concatenate([[0], np.cumsum(doclens[:-1])])
         flat = np.empty((int(doclens.sum()), self.dim), np.float32)
         for idx, keep, emb in drained:
@@ -329,39 +342,18 @@ class ColBERTEncoder:
         if n == 0:
             return (np.zeros((0,), np.uint32), np.zeros((0, nbytes), np.uint8),
                     np.zeros((0,), np.int64))
-        doclens = np.zeros((n,), np.int64)
-        drained: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
-        pending: list[tuple[np.ndarray, np.ndarray, jax.Array, jax.Array]] = []
-        for idx, ids, mask, keep in self._doc_batches(passages):
+
+        def dispatch(idx, ids, mask, keep):
             ids_d, mask_d, keep_d = self._put_batch(ids, mask, keep)
-            codes_d, res_d = encode_compress_batch(
-                self.params,
-                ids_d,
-                mask_d,
-                keep_d,
-                centroids,
-                bucket_cutoffs,
+            return encode_compress_batch(
+                self.params, ids_d, mask_d, keep_d, centroids, bucket_cutoffs,
                 cfg=self.bert_config,
                 dtype_name=cfg.activation_dtype,
                 nbits=nbits,
                 use_flash=self._flash_for(ids.shape[1]),
             )
-            doclens[idx] = keep.sum(axis=1)
-            # async dispatch + async host copy: the next batch's compute
-            # overlaps this batch's device->host copy; a bounded window caps
-            # outstanding HBM.
-            _start_host_copy(codes_d, res_d)
-            pending.append((idx, keep, codes_d, res_d))
-            if len(pending) > MAX_INFLIGHT:
-                i0, k0, c0, r0 = pending.pop(0)
-                drained.append(
-                    (i0, k0, np.asarray(c0)[: len(i0)], np.asarray(r0)[: len(i0)])
-                )
-        drained.extend(
-            (i, kp, np.asarray(c)[: len(i)], np.asarray(r)[: len(i)])
-            for i, kp, c, r in pending
-        )
 
+        drained, doclens = self._pipeline_batches(passages, dispatch)
         dest_offsets = np.concatenate([[0], np.cumsum(doclens[:-1])])
         total = int(doclens.sum())
         flat_codes = np.empty((total,), np.uint32)

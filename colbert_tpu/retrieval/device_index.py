@@ -319,7 +319,10 @@ def _search_core(
     seg_pq = jnp.cumsum(changed) - 1                             # (E,)
     pq_max = jax.ops.segment_max(a2, seg_pq, num_segments=E)
     seg = jnp.cumsum(first_p) - 1                                # (E,)
-    half_imp = jnp.maximum(impute, 0.0)[q2] * 0.5
+    # unclamped: contribution (s - i_q) + i_q/2 = s - i_q/2, the midpoint,
+    # for negative nprobe-th scores too (clamping only one side would
+    # inflate hits on negative-impute query tokens)
+    half_imp = impute[q2] * 0.5
     contrib = jnp.where(
         first_pq, jnp.maximum(pq_max[seg_pq], 0.0) + half_imp, 0.0
     )

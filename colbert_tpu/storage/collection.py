@@ -60,7 +60,17 @@ class Collection:
             # text = second tab-separated field: first tab after line start
             # to the next tab (or line end)
             tabs = np.flatnonzero(buf == 0x09).astype(np.int64)
-            t1 = tabs[np.searchsorted(tabs, line_starts)]
+            pos = np.searchsorted(tabs, line_starts)
+            bad = pos >= len(tabs)
+            t1 = tabs[np.minimum(pos, max(len(tabs) - 1, 0))] if len(tabs) else line_ends
+            bad |= t1 >= line_ends  # line has no tab of its own
+            if bad.any():
+                i = int(np.flatnonzero(bad)[0])
+                raise ValueError(
+                    f"{path}: line {i} has no tab — not 'pid\\ttext' TSV "
+                    f"(line starts with "
+                    f"{bytes(buf[line_starts[i]:line_starts[i]+40]).decode('utf-8', 'replace')!r})"
+                )
             next_pos = np.searchsorted(tabs, t1 + 1)
             t2 = np.where(
                 (next_pos < len(tabs)) & (tabs[np.minimum(next_pos, len(tabs) - 1)] < line_ends),

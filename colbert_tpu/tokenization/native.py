@@ -100,13 +100,9 @@ class NativeWordPiece:
             return self.tokenizer.encode_batch(
                 list(texts) if isinstance(texts, Collection) else texts
             )
-        if isinstance(texts, Collection):
-            blob, offsets = texts.batch_blob()
-        else:
-            encoded = [t.encode("utf-8") for t in texts]
-            offsets = np.zeros(len(texts) + 1, np.int64)
-            np.cumsum([len(e) for e in encoded], out=offsets[1:])
-            blob = b"".join(encoded)
+        if not isinstance(texts, Collection):
+            texts = Collection.from_list(texts)
+        blob, offsets = texts.batch_blob()
         out_ids = np.empty((len(texts), self.max_tokens), np.int32)
         out_lens = np.empty(len(texts), np.int32)
         self.lib.wp_encode_batch(

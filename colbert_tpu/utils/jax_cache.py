@@ -32,14 +32,19 @@ def enable_persistent_cache(path: str | None = None) -> None:
     if loc.lower() in ("0", "off", "none", ""):
         _enabled = True
         return
-    import jax
-
-    os.makedirs(loc, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", loc)
-    # cache even fast compiles: one chip-seconds-scale build has many shapes
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # the cache is an optimization; never let it break `import colbert_tpu`
+    # (read-only HOME / locked-down hosts)
     try:
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except AttributeError:  # older jax
+        import jax
+
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        # cache even fast compiles: one chip-seconds build has many shapes
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        try:
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        except AttributeError:  # older jax
+            pass
+    except Exception:
         pass
     _enabled = True
