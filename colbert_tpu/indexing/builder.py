@@ -142,16 +142,16 @@ def _clear_index_dir(index_path: str) -> None:
 
 
 def _resumable_codec(index_path: str, n_passages: int):
-    """If a previous partial build left a codec + at least one complete
-    chunk, reuse the *saved* codec instead of retraining — retraining would
-    overwrite the centroids/cutoffs the resumed chunks were compressed
-    against (any nondeterminism then silently corrupts the index). The saved
-    plan must match the current collection; a mismatch is a hard error
-    (pass ``overwrite=True`` to rebuild).
+    """If a previous (or concurrent multi-rank) build left a codec, reuse
+    the *saved* codec instead of retraining — retraining would overwrite the
+    centroids/cutoffs that already-written chunks were compressed against
+    (any nondeterminism then silently corrupts the index). The saved plan
+    must match the current collection; a mismatch is a hard error (pass
+    ``overwrite=True`` to rebuild).
     """
     has_plan = os.path.exists(os.path.join(index_path, "plan.json"))
     has_codec = os.path.exists(os.path.join(index_path, "centroids.npy"))
-    if not (has_plan and has_codec and fmt.chunk_is_complete(index_path, 0)):
+    if not (has_plan and has_codec):
         return None
     plan = fmt.load_plan(index_path)
     if int(plan.get("num_documents", -1)) != n_passages:
@@ -273,15 +273,25 @@ def _build_chunks(
     t0: float,
 ) -> None:
     # --- phase 4: fused encode+compress chunks (collection_indexer.jl:271-297) ---
+    # Multi-host: with nranks > 1 each rank builds only its stride of chunks
+    # (chunk_idx % nranks == rank) against the shared index dir — the
+    # reference's rank/nranks are placeholders ("only supports one GPU",
+    # config.jl:13-14); here they shard the build. The last rank to finish
+    # (all chunks present) also builds the IVF; earlier finishers return a
+    # partial index that any later run (any rank) completes via chunk resume.
     n = len(passages)
     chunksize = plan["chunksize"]
-    all_codes: list[np.ndarray] = []
+    nranks = max(1, config.nranks)
+    all_codes: list[np.ndarray | None] = []
     for chunk_idx in range(plan["num_chunks"]):
         lo = chunk_idx * chunksize
         hi = min(n, lo + chunksize)
         if fmt.chunk_is_complete(index_path, chunk_idx):
             all_codes.append(fmt.load_chunk(index_path, chunk_idx)["codes"])
             logger.info("chunk %d already complete; resumed", chunk_idx)
+            continue
+        if nranks > 1 and chunk_idx % nranks != config.rank:
+            all_codes.append(None)  # another rank's chunk, not built yet
             continue
         t = time.time()
         with tracer.phase("chunk_encode_compress"):
@@ -302,6 +312,15 @@ def _build_chunks(
             chunk_idx + 1, plan["num_chunks"], hi - lo, codes.shape[0],
             time.time() - t,
         )
+
+    if any(c is None for c in all_codes):
+        done = sum(c is not None for c in all_codes)
+        logger.info(
+            "rank %d/%d finished its chunks (%d/%d complete overall); the "
+            "final rank to complete builds the IVF",
+            config.rank, nranks, done, plan["num_chunks"],
+        )
+        return
 
     # --- phase 5: offsets + IVF (indexing.jl:119-143) ---
     counts = [int(c.shape[0]) for c in all_codes]

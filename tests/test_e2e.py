@@ -178,3 +178,29 @@ def test_overwrite_clears_stale_artifacts(built_index, tmp_path):
     Indexer(cfg, encoder=encoder, collection=passages).index(path2, overwrite=True)
     assert not os.path.exists(os.path.join(path2, "9.codes.npy"))
     assert fmt.check_all_files_saved(path2) == []
+
+
+def test_multirank_build_stride(built_index, tmp_path):
+    """nranks > 1 shards chunks across ranks against a shared index dir;
+    the last rank to finish builds the IVF, and the result matches a
+    single-rank build exactly."""
+    import dataclasses
+    import os
+
+    cfg, encoder, passages, path = built_index
+    path2 = str(tmp_path / "idx_ranks")
+    cfg0 = dataclasses.replace(cfg, nranks=2, rank=0)
+    Indexer(cfg0, encoder=encoder, collection=passages).index(path2)
+    # rank 0 alone leaves the build partial (no IVF yet)
+    assert not os.path.exists(os.path.join(path2, "ivf.npy"))
+    assert fmt.chunk_is_complete(path2, 0)
+    assert not fmt.chunk_is_complete(path2, 1)
+    cfg1 = dataclasses.replace(cfg, nranks=2, rank=1)
+    Indexer(cfg1, encoder=encoder, collection=passages).index(path2)
+    assert fmt.check_all_files_saved(path2) == []
+    np.testing.assert_array_equal(
+        fmt.load_all_codes(path2), fmt.load_all_codes(path)
+    )
+    ivf1, _ = fmt.load_ivf(path)
+    ivf2, _ = fmt.load_ivf(path2)
+    np.testing.assert_array_equal(ivf1, ivf2)
