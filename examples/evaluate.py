@@ -11,6 +11,12 @@ examples/AIHelpMe/evals.jl:29-43, available as
 colbert_tpu.evaluation.metrics.lcs_hit_rate).
 """
 
+import os
+import sys
+
+# the package is used from the repo checkout (no pip install step)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 
@@ -23,6 +29,20 @@ from colbert_tpu.evaluation.runner import (
 )
 
 
+
+
+def make_searcher(index_dir: str, random_weights: bool):
+    """Searcher for the index; --random-weights injects the deterministic
+    bench encoder (an index built with --random-weights must be searched
+    with it too — there is no checkpoint to load)."""
+    if random_weights:
+        from bench import make_bench_encoder
+
+        encoder, _ = make_bench_encoder()
+        return Searcher(index_dir, encoder=encoder)
+    return Searcher(index_dir)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("index_dir")
@@ -31,9 +51,12 @@ def main() -> None:
     ap.add_argument("--lotte", action="store_true")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--random-weights", action="store_true",
+                    help="use the deterministic random-weight bench encoder "
+                         "(for indexes built with indexing.py --random-weights)")
     args = ap.parse_args()
 
-    searcher = Searcher(args.index_dir)
+    searcher = make_searcher(args.index_dir, args.random_weights)
     qids, queries = load_queries_tsv(args.queries)
     qrels = (load_qrels_lotte if args.lotte else load_qrels_trec)(args.qrels)
     report = evaluate(searcher, queries, qids, qrels, k=args.k,

@@ -9,6 +9,12 @@ ships no checkpoints), pass ``--random-weights`` to exercise the full
 pipeline with a deterministic random bert-base model.
 """
 
+import os
+import sys
+
+# the package is used from the repo checkout (no pip install step)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import logging
 import sys
@@ -38,9 +44,12 @@ def main() -> None:
     )
     if args.random_weights:
         from bench import make_bench_encoder  # repo-root bench fixtures
+        from colbert_tpu.models.encoder import ColBERTEncoder
 
-        encoder, _ = make_bench_encoder()
-        encoder.config = config
+        bench_enc, _ = make_bench_encoder()
+        encoder = ColBERTEncoder(
+            bench_enc.params, bench_enc.bert_config, bench_enc.tokenizer, config
+        )
         indexer = Indexer(config, encoder=encoder)
     else:
         indexer = Indexer(config)

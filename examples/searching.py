@@ -5,9 +5,29 @@ Usage:
     python examples/searching.py <index_dir> --interactive
 """
 
+import os
+import sys
+
+# the package is used from the repo checkout (no pip install step)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 from colbert_tpu import Searcher
+
+
+
+
+def make_searcher(index_dir: str, random_weights: bool):
+    """Searcher for the index; --random-weights injects the deterministic
+    bench encoder (an index built with --random-weights must be searched
+    with it too — there is no checkpoint to load)."""
+    if random_weights:
+        from bench import make_bench_encoder
+
+        encoder, _ = make_bench_encoder()
+        return Searcher(index_dir, encoder=encoder)
+    return Searcher(index_dir)
 
 
 def main() -> None:
@@ -16,9 +36,12 @@ def main() -> None:
     ap.add_argument("query", nargs="?")
     ap.add_argument("-k", type=int, default=5)
     ap.add_argument("--interactive", action="store_true")
+    ap.add_argument("--random-weights", action="store_true",
+                    help="use the deterministic random-weight bench encoder "
+                         "(for indexes built with indexing.py --random-weights)")
     args = ap.parse_args()
 
-    searcher = Searcher(args.index_dir)
+    searcher = make_searcher(args.index_dir, args.random_weights)
 
     def run(q: str) -> None:
         pids, scores = searcher.search(q, k=args.k)
