@@ -78,16 +78,24 @@ def _topic_words(topic: int, n_words: int) -> np.ndarray:
 
 
 def synthetic_passages(n: int, mean_words: int = 110, n_words: int = 2000) -> list[str]:
-    """Topical corpus: each passage draws from one of N_TOPICS overlapping
-    vocabulary windows (real collections are topical — uniform-random tokens
-    would make every query's IVF candidate set ~the whole corpus, which no
-    production workload looks like)."""
+    """Topical corpus: each passage draws ~60% of its words from one of
+    N_TOPICS overlapping vocabulary windows and ~40% from the global
+    vocabulary. Real collections are topical (uniform-random tokens would
+    make every query's IVF candidate set ~the whole corpus) but not
+    near-duplicates (pure topic-window sampling gives every passage of a
+    topic the same token SET, which no centroid-level pruning stage —
+    including reference-faithful PLAID — can discriminate)."""
     rng = np.random.default_rng(7)
     out = []
     for i in range(n):
         words = _topic_words(i % N_TOPICS, n_words)
         k = int(rng.integers(mean_words - 30, mean_words + 30))
-        ids = rng.choice(words, size=k)
+        k_topic = int(k * 0.6)
+        ids = np.concatenate([
+            rng.choice(words, size=k_topic),
+            rng.integers(0, n_words, k - k_topic),
+        ])
+        rng.shuffle(ids)
         out.append(" ".join(f"word{i:05d}" for i in ids))
     return out
 
@@ -162,6 +170,29 @@ def main() -> None:
         # match
         p_self, _ = s.search_batch([passages[5], passages[900]], k=3)
         assert p_self[0][0] == 5 and p_self[1][0] == 900, p_self
+
+        # pruning quality with REAL relevance signal: queries are passage
+        # prefixes, ground truth is the passage itself; the PLAID funnel
+        # must not lose it vs exhaustive candidate scoring. (Top-10 OVERLAP
+        # is not meaningful here: random weights leave the tail of the
+        # ranking in statistical ties.)
+        import jax.numpy as jnp
+
+        probe = list(range(0, n, n // 32))[:32]
+        Qe = jnp.asarray(
+            s.encoder.encode_queries([passages[i][:200] for i in probe]))
+        kw = dict(k=10, nprobe=cfg.nprobe, cell_cap=s.cell_cap,
+                  max_candidates=s.max_candidates, use_pallas=s._stage2_pallas)
+        p_pruned, _ = s.device_index.search_Q_batch(
+            Qe, ncandidates=cfg.plaid_stage2_docs or 1024,
+            centroid_threshold=cfg.centroid_score_threshold, **kw)
+        p_full, _ = s.device_index.search_Q_batch(
+            Qe, ncandidates=s.max_candidates, centroid_threshold=None,
+            stage1_refine=False, **kw)
+        s1_pr = float(np.mean([p_pruned[b][0] == probe[b] for b in range(32)]))
+        s1_full = float(np.mean([p_full[b][0] == probe[b] for b in range(32)]))
+        log(f"self-retrieval success@1: pruned funnel {s1_pr:.3f} vs "
+            f"exhaustive {s1_full:.3f}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -92,6 +92,12 @@ class ColBERTConfig:
     # latency/recall dial. Ignored when use_plaid_pruning is off (everything
     # is fully scored).
     plaid_stage2_docs: int | None = None
+    # hybrid stage-1: rank all candidates with the cheap gather-free probed
+    # bound, then re-rank a 4x-wide cut with the full centroid interaction
+    # before the stage-2 budget. The probed bound alone cannot separate
+    # near-duplicate candidates (same cells -> tied scores); the refine
+    # restores funnel precision at ~1/4 the old gather cost.
+    plaid_stage1_refine: bool = True
     # device-search capacity knobs (static shapes of the jitted search
     # program). None = auto-size from the index: cell_cap from the largest
     # IVF cell, max_candidates from the passage count — exact but memory-

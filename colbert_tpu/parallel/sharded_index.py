@@ -157,6 +157,7 @@ class ShardedDeviceIndex:
         self, Q: jax.Array, *, k: int, nprobe: int, ncandidates: int,
         cell_cap: int = 1024, max_candidates: int = 8192,
         centroid_threshold: float | None = None,
+        stage1_refine: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Queries (B, Lq, dim) -> (pids (B, k), scores (B, k)), exact merge
         of per-shard top-k results."""
@@ -170,7 +171,7 @@ class ShardedDeviceIndex:
             self.mesh, sentinel_pid=self.shard_passages, nbits=self.nbits,
             max_doclen=self.max_doclen, k=k_local, nprobe=nprobe,
             ncandidates=ncand, cell_cap=cell_cap, max_candidates=max_candidates,
-            centroid_threshold=centroid_threshold,
+            centroid_threshold=centroid_threshold, stage1_refine=stage1_refine,
         )
         repl = NamedSharding(self.mesh, P())
         local_pids, local_scores, _overflow = fn(

@@ -133,12 +133,14 @@ class DeviceIndex:
         cell_cap: int = 1024, max_candidates: int = 8192,
         centroid_threshold: float | None = None,
         use_pallas: bool = False,
+        stage1_refine: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """One pre-encoded query (Q: (Lq, dim)) -> (pids (k,), scores (k,))."""
         pids, scores = self.search_Q_batch(
             Q[None], k=k, nprobe=nprobe, ncandidates=ncandidates,
             cell_cap=cell_cap, max_candidates=max_candidates,
             centroid_threshold=centroid_threshold, use_pallas=use_pallas,
+            stage1_refine=stage1_refine,
         )
         return pids[0], scores[0]
 
@@ -147,6 +149,7 @@ class DeviceIndex:
         cell_cap: int = 1024, max_candidates: int = 8192,
         centroid_threshold: float | None = None,
         use_pallas: bool = False,
+        stage1_refine: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Pre-encoded queries (B, Lq, dim) -> (pids (B, k), scores (B, k))."""
         B, Lq, _ = Q.shape
@@ -163,6 +166,7 @@ class DeviceIndex:
             k=k_eff, nprobe=nprobe, ncandidates=ncand,
             cell_cap=cell_cap, max_candidates=mc,
             centroid_threshold=centroid_threshold, use_pallas=use_pallas,
+            stage1_refine=stage1_refine,
         )
         return self._postprocess(
             np.asarray(pids), np.asarray(scores), np.asarray(overflow), k
@@ -174,6 +178,7 @@ class DeviceIndex:
         cell_cap: int = 1024, max_candidates: int = 8192,
         centroid_threshold: float | None = None,
         use_pallas: bool = False,
+        stage1_refine: bool = True,
         dtype_name: str = "bfloat16",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Fully fused serving path: query token ids -> (pids, scores) in ONE
@@ -193,6 +198,7 @@ class DeviceIndex:
             k=k_eff, nprobe=nprobe, ncandidates=ncand,
             cell_cap=cell_cap, max_candidates=mc,
             centroid_threshold=centroid_threshold, use_pallas=use_pallas,
+            stage1_refine=stage1_refine,
         )
         return self._postprocess(
             np.asarray(pids), np.asarray(scores), np.asarray(overflow), k
@@ -235,6 +241,7 @@ def _search_core(
     k: int, nprobe: int, ncandidates: int, cell_cap: int, max_candidates: int,
     centroid_threshold: float | None = None,
     use_pallas: bool = False,
+    stage1_refine: bool = True,
 ):
     Lq, dim = Q.shape
     sentinel_eid = codes.shape[0] - 1
@@ -329,19 +336,39 @@ def _search_core(
     seg_sum = jax.ops.segment_sum(contrib, seg, num_segments=E)
     stage1 = jnp.where(first, seg_sum[seg], NEG)                 # (E,)
 
-    # exact top-ncandidates (cheaper than a full argsort of E entries)
-    top_vals, top_idx = jax.lax.top_k(stage1, ncandidates)
-    fin_pids = jnp.where(top_vals > NEG / 2, p2[top_idx], sentinel_pid)
+    def tok_gather(pids_sel):
+        dl = doclens[pids_sel]
+        off = emb_offsets[pids_sel]
+        arl = jnp.arange(max_doclen, dtype=jnp.int32)
+        ti = off[:, None] + jnp.minimum(
+            arl[None, :], jnp.maximum(dl[:, None] - 1, 0)
+        )
+        tv = arl[None, :] < dl[:, None]
+        return jnp.where(tv, ti, sentinel_eid), tv
+
+    if stage1_refine and 4 * ncandidates < max_candidates:
+        # hybrid funnel: the probed bound cannot separate near-duplicate
+        # candidates (same cells -> tied scores), so take a 4x-wide cut by
+        # the cheap bound, then rank those by the FULL centroid interaction
+        # (token-code gather — expensive, but over 4*NC rows instead of all
+        # candidates) before the stage-2 budget.
+        width = 4 * ncandidates
+        w_vals, w_idx = jax.lax.top_k(stage1, width)
+        w_pids = jnp.where(w_vals > NEG / 2, p2[w_idx], sentinel_pid)
+        w_tok_idx, w_tok_valid = tok_gather(w_pids)
+        approx = _approx_maxsim(cscores, codes, w_tok_idx, w_tok_valid)
+        approx = jnp.where(w_pids == sentinel_pid, NEG, approx)
+        _, keep_rows = jax.lax.top_k(approx, ncandidates)
+        fin_pids = w_pids[keep_rows]
+        fin_tok_idx = w_tok_idx[keep_rows]
+        fin_valid = w_tok_valid[keep_rows]
+    else:
+        # exact top-ncandidates (cheaper than a full argsort of E entries)
+        top_vals, top_idx = jax.lax.top_k(stage1, ncandidates)
+        fin_pids = jnp.where(top_vals > NEG / 2, p2[top_idx], sentinel_pid)
+        fin_tok_idx, fin_valid = tok_gather(fin_pids)
 
     # --- 5. stage-2: chunked fused decompress + MaxSim on survivors ---
-    dl = doclens[fin_pids]                                        # (NC,)
-    off = emb_offsets[fin_pids]
-    arl = jnp.arange(max_doclen, dtype=jnp.int32)
-    fin_tok_idx = off[:, None] + jnp.minimum(
-        arl[None, :], jnp.maximum(dl[:, None] - 1, 0)
-    )
-    fin_valid = arl[None, :] < dl[:, None]                        # (NC, Ld)
-    fin_tok_idx = jnp.where(fin_valid, fin_tok_idx, sentinel_eid)
     scores = _stage2_scores(
         Q, codes, residuals, centroids, bucket_weights,
         fin_tok_idx, fin_valid, nbits=nbits, use_pallas=use_pallas,
@@ -351,6 +378,33 @@ def _search_core(
     # --- 6. final top-k ---
     top_scores, top_rows = jax.lax.top_k(scores, k)
     return fin_pids[top_rows], top_scores, overflow
+
+
+def _approx_maxsim(cscores, codes, tok_idx, tok_valid, *, chunk: int = 256):
+    """Full centroid-interaction approximation: sum_q max_t cscores[q,
+    code(token t)] over valid tokens, chunked. Used by the hybrid stage-1
+    refine — the (Lq, chunk, Ld) score gather is the expensive part (TPU
+    scalar gathers), so the table is gathered in bf16 and the row count is
+    kept to 4x the stage-2 budget."""
+    MC, Ld = tok_idx.shape
+    cs16 = cscores.astype(jnp.bfloat16)
+    nchunks = max(1, -(-MC // chunk))
+    padded = nchunks * chunk
+    idx_p = jnp.pad(tok_idx, ((0, padded - MC), (0, 0))).reshape(nchunks, chunk, Ld)
+    valid_p = jnp.pad(tok_valid, ((0, padded - MC), (0, 0))).reshape(nchunks, chunk, Ld)
+
+    def one(args):
+        ti, v = args
+        c = codes[ti].astype(jnp.int32)          # (chunk, Ld)
+        s = cs16[:, c].astype(jnp.float32)        # (Lq, chunk, Ld)
+        s = jnp.where(v[None], s, NEG)
+        per_q = jnp.max(s, axis=-1)               # (Lq, chunk)
+        any_tok = jnp.any(v, axis=-1)[None]
+        per_q = jnp.where(any_tok, per_q, 0.0)
+        return jnp.sum(per_q, axis=0)             # (chunk,)
+
+    out = jax.lax.map(one, (idx_p, valid_p))
+    return out.reshape(padded)[:MC]
 
 
 def _stage2_scores(
@@ -418,6 +472,7 @@ def _stage2_scores(
 _STATIC = (
     "sentinel_pid", "nbits", "max_doclen", "k", "nprobe", "ncandidates",
     "cell_cap", "max_candidates", "centroid_threshold", "use_pallas",
+    "stage1_refine",
 )
 
 

@@ -189,6 +189,7 @@ class Searcher:
                 cell_cap=self.cell_cap, max_candidates=self.max_candidates,
                 centroid_threshold=threshold,
                 use_pallas=self._stage2_pallas,
+                stage1_refine=cfg.plaid_stage1_refine,
                 dtype_name=cfg.activation_dtype,
             )
             kk = min(k, pids_b.shape[1])
@@ -203,6 +204,7 @@ class Searcher:
                 Q, k=k, nprobe=cfg.nprobe, ncandidates=ncand,
                 cell_cap=self.cell_cap, max_candidates=self.max_candidates,
                 centroid_threshold=threshold,
+                stage1_refine=cfg.plaid_stage1_refine,
             )
             kk = min(k, pids_b.shape[1])
             out_pids[:, :kk] = pids_b[:, :kk]

@@ -204,3 +204,19 @@ def test_multirank_build_stride(built_index, tmp_path):
     ivf1, _ = fmt.load_ivf(path)
     ivf2, _ = fmt.load_ivf(path2)
     np.testing.assert_array_equal(ivf1, ivf2)
+
+
+def test_build_and_search_nbits4(tmp_path):
+    """The full pipeline at nbits=4 (codec paths beyond the default 2)."""
+    cfg = ColBERTConfig(
+        dim=32, doc_maxlen=64, query_maxlen=16, index_bsize=8, length_bucket=16,
+        chunksize=16, nbits=4, kmeans_niters=4, nprobe=4, mesh_data_axis=1,
+    )
+    encoder = make_encoder(dim=32, seed=0, config=cfg)
+    passages = synthetic_collection(32, seed=9)
+    path = str(tmp_path / "idx4")
+    Indexer(cfg, encoder=encoder, collection=passages).index(path)
+    s = Searcher(path, encoder=encoder)
+    pids, scores = s.search_batch([passages[3], passages[30]], k=3)
+    assert pids[0][0] == 3 and pids[1][0] == 30
+    assert (np.diff(scores[0][scores[0] > -np.inf]) <= 1e-6).all()
