@@ -89,3 +89,31 @@ def test_candidate_overflow_counted_and_score_ordered(built):
     p_tight, _ = s.device_index.search_Q_batch(Q, max_candidates=4, **kw)
     assert s.device_index.overflow_candidates > before  # surfaced
     assert p_tight[0, 0] == p_full[0, 0]  # best candidate survives truncation
+
+
+@pytest.mark.parametrize("nprobe,ncand,cell_cap,refine", [
+    (1, 8, 32, False),     # nprobe=1: probed bound degenerates; midpoint must still rank
+    (2, 4, 16, True),      # tiny caps: heavy truncation everywhere
+    (6, 64, 128, True),    # wide probe
+])
+def test_search_invariants_under_configs(built, nprobe, ncand, cell_cap, refine):
+    """Structural invariants must hold for any funnel configuration: unique
+    in-range pids, descending scores, sentinel-free output rows."""
+    import jax.numpy as jnp
+
+    cfg, encoder, passages, path = built
+    s = Searcher(path, encoder=encoder)
+    Q = jnp.asarray(encoder.encode_queries([passages[9], "dog runs fast", passages[41]]))
+    pids, scores = s.device_index.search_Q_batch(
+        Q, k=7, nprobe=nprobe, ncandidates=ncand, cell_cap=cell_cap,
+        max_candidates=256, centroid_threshold=0.45, stage1_refine=refine,
+    )
+    for b in range(pids.shape[0]):
+        valid = pids[b] >= 0
+        vp = pids[b][valid]
+        assert len(np.unique(vp)) == len(vp)              # no duplicates
+        assert (vp < len(passages)).all()                 # in range
+        vs = scores[b][valid]
+        assert (np.diff(vs) <= 1e-5).all()                # descending
+        assert np.isfinite(vs).all()
+        assert valid.sum() >= 1                           # something returned
