@@ -106,6 +106,11 @@ class ColBERTConfig:
     # (DeviceIndex.overflow_candidates) and logged.
     search_cell_cap: int | None = None
     search_max_candidates: int | None = None
+    # balanced IVF: cells larger than this split into sub-cells with
+    # duplicated probe centroids, bounding the static per-probe entry budget
+    # without truncating any cell (oversized cells just cost extra probes).
+    # None = 1024. Set 0 to disable splitting.
+    ivf_balance_cap: int | None = None
 
     def __post_init__(self) -> None:
         if self.dim % 8 != 0:

@@ -215,10 +215,11 @@ def _sharded_search_fn(mesh, **static):
                emb2pid, doclens, emb_offsets, bucket_weights):
         # local shard arrays arrive with a leading length-1 device axis
         def one(q):
+            # sharded path has no balanced-IVF split: probe table == codec
             return _search_core(
-                q, centroids, codes[0], residuals[0], ivf[0], ivf_offsets[0],
-                ivf_lengths[0], emb2pid[0], doclens[0], emb_offsets[0],
-                bucket_weights, **static,
+                q, centroids, centroids, codes[0], residuals[0], ivf[0],
+                ivf_offsets[0], ivf_lengths[0], emb2pid[0], doclens[0],
+                emb_offsets[0], bucket_weights, **static,
             )
 
         pids, scores, overflow = jax.vmap(one)(Q)   # (B, k)

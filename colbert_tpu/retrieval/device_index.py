@@ -46,7 +46,9 @@ NEG = -1e30
 class DeviceIndex:
     """All index artifacts as device arrays, plus the jitted search program."""
 
-    centroids: jax.Array      # (k, dim) f32
+    centroids: jax.Array      # (k, dim) f32 — codec table (codes index this)
+    probe_centroids: jax.Array  # (k', dim) f32 — probing table (balanced IVF
+                                # duplicates oversized cells' rows; k' >= k)
     codes: jax.Array          # (N+1,) uint32 — last row is the sentinel token
     residuals: jax.Array      # (N+1, nbytes) uint8
     ivf: jax.Array            # (N+pad,) int32 eids grouped by centroid
@@ -76,12 +78,42 @@ class DeviceIndex:
         doclens: np.ndarray,
         bucket_weights: np.ndarray,
         nbits: int,
+        balance_cap: int | None = None,
     ) -> "DeviceIndex":
+        """``balance_cap`` splits IVF cells larger than the cap into
+        sub-cells whose probe centroids are duplicates of the original
+        (identical probe scores, so ``top_k`` picks a big cell's sub-cells
+        together): the static per-probe entry budget shrinks to the cap
+        while oversized cells stay fully probeable — strictly better than
+        truncating them. Codec centroids (what codes decompress against)
+        are untouched. None = no splitting."""
         N = len(codes)
         P = len(doclens)
         sentinel_eid = N
         sentinel_pid = P
         nbytes = residuals.shape[1]
+
+        centroids = np.asarray(centroids, np.float32)
+        ivf = np.asarray(ivf)
+        ivf_lengths = np.asarray(ivf_lengths, np.int64)
+        if balance_cap is not None and len(ivf_lengths) and (
+            int(ivf_lengths.max()) > balance_cap
+        ):
+            nsub = np.maximum(1, -(-ivf_lengths // balance_cap))
+            split_origin = np.repeat(
+                np.arange(len(ivf_lengths), dtype=np.int32), nsub
+            )
+            # sub-cell lengths: cap-sized pieces + a remainder, vectorized
+            starts = np.concatenate([[0], np.cumsum(nsub)[:-1]])
+            within = np.arange(int(nsub.sum())) - np.repeat(starts, nsub)
+            sub_lengths = np.minimum(
+                balance_cap,
+                np.repeat(ivf_lengths, nsub) - within * balance_cap,
+            ).astype(np.int32)
+            probe_centroids = centroids[split_origin]
+            ivf_lengths = sub_lengths
+        else:
+            probe_centroids = centroids
 
         codes_p = np.concatenate([codes.astype(np.uint32), np.zeros(1, np.uint32)])
         res_p = np.concatenate([residuals, np.zeros((1, nbytes), np.uint8)], axis=0)
@@ -106,6 +138,7 @@ class DeviceIndex:
 
         return cls(
             centroids=jnp.asarray(centroids, jnp.float32),
+            probe_centroids=jnp.asarray(probe_centroids, jnp.float32),
             codes=jnp.asarray(codes_p),
             residuals=jnp.asarray(res_p),
             ivf=jnp.asarray(ivf_p),
@@ -157,7 +190,7 @@ class DeviceIndex:
                                        ncandidates, k)
         pids, scores, overflow = _search_batch(
             Q,
-            self.centroids, self.codes, self.residuals,
+            self.centroids, self.probe_centroids, self.codes, self.residuals,
             self.ivf, self.ivf_offsets, self.ivf_lengths,
             self.emb2pid, self.doclens, self.emb_offsets, self.bucket_weights,
             sentinel_pid=self.n_passages,
@@ -188,7 +221,7 @@ class DeviceIndex:
                                        ncandidates, k)
         pids, scores, overflow = _search_tokens(
             params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
-            self.centroids, self.codes, self.residuals,
+            self.centroids, self.probe_centroids, self.codes, self.residuals,
             self.ivf, self.ivf_offsets, self.ivf_lengths,
             self.emb2pid, self.doclens, self.emb_offsets, self.bucket_weights,
             bert_cfg=bert_cfg, dtype_name=dtype_name,
@@ -235,7 +268,7 @@ class DeviceIndex:
 
 def _search_core(
     Q,                     # (Lq, dim) f32
-    centroids, codes, residuals, ivf, ivf_offsets, ivf_lengths,
+    centroids, probe_cents, codes, residuals, ivf, ivf_offsets, ivf_lengths,
     emb2pid, doclens, emb_offsets, bucket_weights,
     *, sentinel_pid: int, nbits: int, max_doclen: int,
     k: int, nprobe: int, ncandidates: int, cell_cap: int, max_candidates: int,
@@ -247,8 +280,11 @@ def _search_core(
     sentinel_eid = codes.shape[0] - 1
 
     # --- 1. centroid scores + probed cells (reference ranking.jl:27-31) ---
-    cscores = jnp.dot(Q, centroids.T, preferred_element_type=jnp.float32)  # (Lq, k)
-    probe_scores, cells = jax.lax.top_k(cscores, nprobe)  # (Lq, nprobe)
+    # probing runs over the (possibly balanced/duplicated) probe table
+    cscores_probe = jnp.dot(
+        Q, probe_cents.T, preferred_element_type=jnp.float32
+    )  # (Lq, k')
+    probe_scores, cells = jax.lax.top_k(cscores_probe, nprobe)  # (Lq, nprobe)
 
     # PLAID cell pruning (PAPERS.md PLAID; the reference has no staged
     # pruning at all): probed cells whose centroid score falls below
@@ -356,6 +392,8 @@ def _search_core(
         w_vals, w_idx = jax.lax.top_k(stage1, width)
         w_pids = jnp.where(w_vals > NEG / 2, p2[w_idx], sentinel_pid)
         w_tok_idx, w_tok_valid = tok_gather(w_pids)
+        # the refine scores tokens by their CODEC centroid ids
+        cscores = jnp.dot(Q, centroids.T, preferred_element_type=jnp.float32)
         approx = _approx_maxsim(cscores, codes, w_tok_idx, w_tok_valid)
         approx = jnp.where(w_pids == sentinel_pid, NEG, approx)
         _, keep_rows = jax.lax.top_k(approx, ncandidates)
@@ -478,13 +516,14 @@ _STATIC = (
 
 @functools.partial(jax.jit, static_argnames=_STATIC)
 def _search_batch(
-    Q, centroids, codes, residuals, ivf, ivf_offsets, ivf_lengths,
+    Q, centroids, probe_cents, codes, residuals, ivf, ivf_offsets, ivf_lengths,
     emb2pid, doclens, emb_offsets, bucket_weights, **static,
 ):
     def one(q):
         return _search_core(
-            q, centroids, codes, residuals, ivf, ivf_offsets, ivf_lengths,
-            emb2pid, doclens, emb_offsets, bucket_weights, **static,
+            q, centroids, probe_cents, codes, residuals, ivf, ivf_offsets,
+            ivf_lengths, emb2pid, doclens, emb_offsets, bucket_weights,
+            **static,
         )
 
     return jax.vmap(one)(Q)
@@ -493,7 +532,7 @@ def _search_batch(
 @functools.partial(jax.jit, static_argnames=_STATIC + ("bert_cfg", "dtype_name"))
 def _search_tokens(
     params, input_ids, attention_mask,
-    centroids, codes, residuals, ivf, ivf_offsets, ivf_lengths,
+    centroids, probe_cents, codes, residuals, ivf, ivf_offsets, ivf_lengths,
     emb2pid, doclens, emb_offsets, bucket_weights,
     *, bert_cfg, dtype_name, **static,
 ):
@@ -507,8 +546,9 @@ def _search_tokens(
 
     def one(q):
         return _search_core(
-            q, centroids, codes, residuals, ivf, ivf_offsets, ivf_lengths,
-            emb2pid, doclens, emb_offsets, bucket_weights, **static,
+            q, centroids, probe_cents, codes, residuals, ivf, ivf_offsets,
+            ivf_lengths, emb2pid, doclens, emb_offsets, bucket_weights,
+            **static,
         )
 
     return jax.vmap(one)(Q)

@@ -70,6 +70,8 @@ class Searcher:
             # dropped right after the HBM upload — device-mode host RSS is
             # ~independent of index size (the reference keeps the whole
             # index in host RAM, loaders.jl:91-113).
+            bal = self.config.ivf_balance_cap
+            balance_cap = 1024 if bal is None else (bal if bal > 0 else None)
             self.device_index = DeviceIndex.build(
                 centroids=np.asarray(self.centroids),
                 codes=fmt.load_all_codes(self.index_path, mmap=True),
@@ -79,6 +81,7 @@ class Searcher:
                 doclens=np.asarray(self.doclens, np.int64),
                 bucket_weights=np.asarray(self.bucket_weights),
                 nbits=self.config.nbits,
+                balance_cap=balance_cap,
             )
             self.codes = self.residuals = None  # HBM-resident only
             self.emb2pid = self.emb_offsets = None
@@ -134,7 +137,16 @@ class Searcher:
         self._stage2_pallas = bool(cfg.use_pallas) and pallas_stage2_supported(
             cfg.nbits, cfg.dim
         )
-        max_ivf = int(self.ivf_lengths.max()) if len(self.ivf_lengths) else 1
+        # size cell_cap from the PROBING-side cell lengths (the balanced IVF
+        # split makes these <= ivf_balance_cap even when storage cells are
+        # huge, so auto mode is exact without mega-cell truncation)
+        probe_lengths = getattr(
+            getattr(self, "device_index", None), "ivf_lengths", None
+        )
+        if probe_lengths is not None and len(probe_lengths):
+            max_ivf = int(np.asarray(probe_lengths).max())
+        else:
+            max_ivf = int(self.ivf_lengths.max()) if len(self.ivf_lengths) else 1
         if cfg.search_cell_cap is not None:
             self.cell_cap = int(cfg.search_cell_cap)
         else:
