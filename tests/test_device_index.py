@@ -117,3 +117,47 @@ def test_search_invariants_under_configs(built, nprobe, ncand, cell_cap, refine)
         assert (np.diff(vs) <= 1e-5).all()                # descending
         assert np.isfinite(vs).all()
         assert valid.sum() >= 1                           # something returned
+
+
+def test_balanced_ivf_split_preserves_results(rng):
+    """A mega-cell split into duplicated-centroid sub-cells must stay fully
+    probeable: with enough probes, results match the unbalanced exact index."""
+    import jax.numpy as jnp
+    from colbert_tpu.ops import codec as codec_ops
+    from colbert_tpu.retrieval.device_index import DeviceIndex
+
+    P, Ld, dim, k, nbits = 24, 4, 32, 8, 2
+    N = P * Ld
+    embs = rng.standard_normal((N, dim)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    cent = rng.standard_normal((k, dim)).astype(np.float32)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    # force a skewed assignment: half of all embeddings into cell 0
+    codes = np.asarray(rng.integers(0, k, N), np.uint32)
+    codes[: N // 2] = 0
+    cuts = np.sort(rng.standard_normal(3)).astype(np.float32) * 0.1
+    res = np.asarray(codec_ops.compress_residuals(
+        jnp.asarray(embs), jnp.asarray(cent[codes]), jnp.asarray(cuts), nbits=nbits
+    ))
+    bw = np.sort(rng.standard_normal(4)).astype(np.float32) * 0.1
+    ivf = np.argsort(codes, kind="stable").astype(np.int64)
+    ivf_lengths = np.bincount(codes, minlength=k).astype(np.int32)
+    doclens = np.full((P,), Ld, np.int64)
+    common = dict(centroids=cent, codes=codes, residuals=res, ivf=ivf,
+                  ivf_lengths=ivf_lengths, doclens=doclens,
+                  bucket_weights=bw, nbits=nbits)
+
+    full = DeviceIndex.build(balance_cap=None, **common)
+    bal = DeviceIndex.build(balance_cap=8, **common)
+    # sub-cell lengths repartition the originals exactly
+    assert int(np.asarray(bal.ivf_lengths).sum()) == N
+    assert int(np.asarray(bal.ivf_lengths).max()) <= 8
+    assert bal.probe_centroids.shape[0] > k
+
+    Q = jnp.asarray(rng.standard_normal((2, 8, dim)).astype(np.float32))
+    nsub_max = int(np.ceil(ivf_lengths.max() / 8))
+    kw = dict(k=5, ncandidates=P, max_candidates=256, use_pallas=False)
+    p_full, s_full = full.search_Q_batch(Q, nprobe=k, cell_cap=int(ivf_lengths.max()), **kw)
+    p_bal, s_bal = bal.search_Q_batch(Q, nprobe=k + nsub_max, cell_cap=8, **kw)
+    np.testing.assert_array_equal(p_full, p_bal)
+    np.testing.assert_allclose(s_full, s_bal, rtol=1e-4, atol=1e-4)
