@@ -73,7 +73,8 @@ def train_codec(
 
 def _bucket_rows(sample, weights, *, bucket_frac: float = 1 / 16):
     """Pad rows to a coarse geometric bucket (next multiple of n/16, min 4096)
-    so jitted-program shapes recur; padding rows get zero weight."""
+    so jitted-program shapes recur; padding rows get zero weight. The input
+    dtype is preserved (the builder ships bf16 samples to halve HBM)."""
     sample = jnp.asarray(sample)
     n = sample.shape[0]
     step = max(4096, 1 << max(0, (n - 1).bit_length() - 4))
@@ -101,7 +102,7 @@ def _train_codec_sharded(
     from colbert_tpu.parallel.kmeans_dist import _sharded_step_fn
 
     ndev = mesh.shape["data"]
-    data = jnp.asarray(sample, jnp.float32)
+    data = jnp.asarray(sample)  # dtype preserved (bf16 samples halve HBM)
     n, dim = data.shape
     weights = (
         jnp.ones((n,), jnp.float32) if sample_weights is None

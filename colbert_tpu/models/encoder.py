@@ -281,13 +281,19 @@ class ColBERTEncoder:
         """-> (padded flat embeddings ON DEVICE (M, dim), valid (M,) host bool,
         doclens (N,) host).
 
-        Device-resident variant for the codec training phase: fp32 embeddings
+        Device-resident variant for the codec training phase: embeddings
         never cross the device->host link. Instead of compacting (which would
         need one gather program per distinct batch occupancy — a recompile
         per batch), the padded per-batch blocks are concatenated as-is and a
         host-side validity mask marks real token rows; the k-means/quantile
         consumers weight rows by validity. Row order is encode order, NOT
         passage order (training statistics don't care).
+
+        The sample is kept in bfloat16: Lloyd statistics and quantile
+        histograms accumulate in fp32 regardless, the quantization noise is
+        far below the codec's own bucket granularity, and halving the bytes
+        is what lets a 250k-passage sample (~29M padded token rows) fit in
+        one chip's HBM alongside its transient copies.
         """
         cfg = self.config
         n = len(passages)
@@ -309,7 +315,7 @@ class ColBERTEncoder:
                 use_flash=self._flash_for(ids.shape[1]),
             )
             B, L, dim = emb.shape  # B includes mesh padding rows (valid=False)
-            flats.append(emb.reshape(B * L, dim))
+            flats.append(emb.astype(jnp.bfloat16).reshape(B * L, dim))
             # the keep mask is host-born: pad it locally instead of reading
             # keep_d back (a per-batch D2H round-trip costs ~100ms of tunnel
             # latency; over a 200-batch sample that was ~20s of pure sync)
