@@ -21,6 +21,7 @@ a GPU->CPU transfer and a growing ``cat`` per batch — its measured bottleneck
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Iterator, Sequence, Tuple
 
@@ -48,6 +49,15 @@ __all__ = ["ColBERTEncoder"]
 # batches allowed in flight (dispatched, not yet copied to host) before the
 # pipeline drains the oldest; bounds HBM held by outstanding outputs.
 MAX_INFLIGHT = 8
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_rows(buf: jax.Array, rows: jax.Array, offset: jax.Array) -> jax.Array:
+    """In-place (donated) row append into a preallocated device buffer —
+    assembling a device-resident sample without ``jnp.concatenate``'s 2x
+    transient (HBM-fatal at 1M-passage sample sizes: the sample alone is
+    ~7.5GB bf16)."""
+    return jax.lax.dynamic_update_slice(buf, rows, (offset, 0))
 
 
 def _start_host_copy(*arrays) -> None:
@@ -300,10 +310,31 @@ class ColBERTEncoder:
         if n == 0:
             return (jnp.zeros((0, self.dim), jnp.float32), np.zeros((0,), bool),
                     np.zeros((0,), np.int64))
-        flats = []
-        valids = []
+        # materialize the batch plan first (tokenized host arrays, ~6B/token)
+        # so the exact row total is known and the device buffer can be
+        # preallocated — appends are then donated in-place updates with NO
+        # concatenation transient. Rows are padded up to the codec trainer's
+        # shape bucket so the downstream Lloyd/quantile programs recur.
+        batches = list(self._doc_batches(passages))
+        total = 0
+        for _, ids, _, _ in batches:
+            b = ids.shape[0]
+            if self.mesh is not None:
+                ndev = self.mesh.shape["data"]
+                b = -(-b // ndev) * ndev
+            total += b * ids.shape[1]
+        step = max(4096, 1 << max(0, (total - 1).bit_length() - 4))
+        padded = -(-total // step) * step
+
         doclens = np.zeros((n,), np.int64)
-        for idx, ids, mask, keep in self._doc_batches(passages):
+        valid = np.zeros((padded,), bool)
+        buf = jnp.zeros((padded, self.dim), jnp.bfloat16)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            buf = jax.device_put(buf, NamedSharding(self.mesh, PartitionSpec()))
+        offset = 0
+        for idx, ids, mask, keep in batches:
             ids_d, mask_d, keep_d = self._put_batch(ids, mask, keep)
             emb = encode_batch(
                 self.params,
@@ -315,17 +346,20 @@ class ColBERTEncoder:
                 use_flash=self._flash_for(ids.shape[1]),
             )
             B, L, dim = emb.shape  # B includes mesh padding rows (valid=False)
-            flats.append(emb.astype(jnp.bfloat16).reshape(B * L, dim))
+            buf = _append_rows(
+                buf, emb.astype(jnp.bfloat16).reshape(B * L, dim),
+                jnp.int32(offset),
+            )
             # the keep mask is host-born: pad it locally instead of reading
             # keep_d back (a per-batch D2H round-trip costs ~100ms of tunnel
             # latency; over a 200-batch sample that was ~20s of pure sync)
             keep_h = keep if keep.shape[0] == B else np.pad(
                 keep, ((0, B - keep.shape[0]), (0, 0))
             )
-            valids.append(keep_h.reshape(B * L))
+            valid[offset:offset + B * L] = keep_h.reshape(B * L)
             doclens[idx] = keep.sum(axis=1)
-        flat = flats[0] if len(flats) == 1 else jnp.concatenate(flats, axis=0)
-        return flat, np.concatenate(valids), doclens
+            offset += B * L
+        return buf, valid, doclens
 
     def encode_passages_compressed(
         self,
