@@ -108,9 +108,14 @@ class ColBERTConfig:
     search_max_candidates: int | None = None
     # balanced IVF: cells larger than this split into sub-cells with
     # duplicated probe centroids, bounding the static per-probe entry budget
-    # without truncating any cell (oversized cells just cost extra probes).
+    # (oversized cells cost extra probe slots, truncated beyond 4 sub-cells).
     # None = 1024. Set 0 to disable splitting.
     ivf_balance_cap: int | None = None
+    # add (probe_dup_max - 1) probe slots so one split cell's duplicates
+    # don't crowd out distinct cells (recall-preserving, costs entry budget
+    # ~= the unbalanced index). False probes exactly nprobe slots: faster,
+    # but a query token whose best cell was split may probe ONLY that cell.
+    probe_dup_compensation: bool = True
 
     def __post_init__(self) -> None:
         if self.dim % 8 != 0:

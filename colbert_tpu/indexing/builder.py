@@ -141,18 +141,38 @@ def _clear_index_dir(index_path: str) -> None:
             os.remove(os.path.join(index_path, name))
 
 
-def _resumable_codec(index_path: str, n_passages: int):
+def _resumable_codec(index_path: str, n_passages: int, *, nranks: int = 1,
+                     rank: int = 0, wait_timeout_s: float = 3600.0):
     """If a previous (or concurrent multi-rank) build left a codec, reuse
     the *saved* codec instead of retraining — retraining would overwrite the
     centroids/cutoffs that already-written chunks were compressed against
-    (any nondeterminism then silently corrupts the index). The saved plan
-    must match the current collection; a mismatch is a hard error (pass
-    ``overwrite=True`` to rebuild).
+    (any nondeterminism then silently corrupts the index). Completion is
+    gated on ALL FOUR codec files (save order makes avg_residual.json the
+    marker), so a torn mid-save codec falls back to retraining rather than
+    crashing. In a multi-rank build only rank 0 may train: other ranks WAIT
+    for rank 0's codec instead of racing it. The saved plan must match the
+    current collection; a mismatch is a hard error (pass ``overwrite=True``
+    to rebuild).
     """
-    has_plan = os.path.exists(os.path.join(index_path, "plan.json"))
-    has_codec = os.path.exists(os.path.join(index_path, "centroids.npy"))
-    if not (has_plan and has_codec):
-        return None
+    def complete() -> bool:
+        return (
+            os.path.exists(os.path.join(index_path, "plan.json"))
+            and fmt.codec_is_complete(index_path)
+        )
+
+    if not complete():
+        if nranks > 1 and rank != 0:
+            logger.info("rank %d waiting for rank 0's codec", rank)
+            deadline = time.time() + wait_timeout_s
+            while not complete():
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"rank {rank}: no codec at {index_path} after "
+                        f"{wait_timeout_s:.0f}s — is rank 0 running?"
+                    )
+                time.sleep(2.0)
+        else:
+            return None
     plan = fmt.load_plan(index_path)
     if int(plan.get("num_documents", -1)) != n_passages:
         raise RuntimeError(
@@ -177,7 +197,9 @@ def _build(
     rng = np.random.default_rng(0)
     tracer = Tracer()
 
-    resumed = _resumable_codec(index_path, n)
+    resumed = _resumable_codec(
+        index_path, n, nranks=max(1, config.nranks), rank=config.rank
+    )
     if resumed is not None:
         plan, codec = resumed
         centroids_dev = jnp.asarray(codec["centroids"])
@@ -313,6 +335,14 @@ def _build_chunks(
             time.time() - t,
         )
 
+    if any(c is None for c in all_codes):
+        # re-scan foreign chunks: under genuinely concurrent ranks they were
+        # checked early in the loop and may have landed since — without this,
+        # EVERY rank could see some foreign chunk as missing and no rank
+        # would ever build the IVF
+        for chunk_idx, c in enumerate(all_codes):
+            if c is None and fmt.chunk_is_complete(index_path, chunk_idx):
+                all_codes[chunk_idx] = fmt.load_chunk(index_path, chunk_idx)["codes"]
     if any(c is None for c in all_codes):
         done = sum(c is not None for c in all_codes)
         logger.info(

@@ -15,7 +15,16 @@ import numpy as np
 from colbert_tpu.ops import codec as codec_ops
 from colbert_tpu.ops import kmeans as kmeans_ops
 
-__all__ = ["train_codec"]
+__all__ = ["train_codec", "sample_bucket_step"]
+
+
+def sample_bucket_step(n: int) -> int:
+    """Row-count bucket granularity for codec-training samples: next
+    multiple of ~n/16 (min 4096). THE single source of truth — the encoder
+    preallocates its device buffer at this granularity so ``_bucket_rows``
+    never needs a second full-sample pad copy (HBM-fatal at 1M-passage
+    sample sizes)."""
+    return max(4096, 1 << max(0, (n - 1).bit_length() - 4))
 
 
 def train_codec(
@@ -77,7 +86,7 @@ def _bucket_rows(sample, weights, *, bucket_frac: float = 1 / 16):
     dtype is preserved (the builder ships bf16 samples to halve HBM)."""
     sample = jnp.asarray(sample)
     n = sample.shape[0]
-    step = max(4096, 1 << max(0, (n - 1).bit_length() - 4))
+    step = sample_bucket_step(n)
     padded = -(-n // step) * step
     if padded == n and weights is not None:
         return sample, jnp.asarray(weights)

@@ -316,6 +316,8 @@ class ColBERTEncoder:
         # concatenation transient. Rows are padded up to the codec trainer's
         # shape bucket so the downstream Lloyd/quantile programs recur.
         batches = list(self._doc_batches(passages))
+        from colbert_tpu.indexing.codec_trainer import sample_bucket_step
+
         total = 0
         for _, ids, _, _ in batches:
             b = ids.shape[0]
@@ -323,7 +325,7 @@ class ColBERTEncoder:
                 ndev = self.mesh.shape["data"]
                 b = -(-b // ndev) * ndev
             total += b * ids.shape[1]
-        step = max(4096, 1 << max(0, (total - 1).bit_length() - 4))
+        step = sample_bucket_step(total)
         padded = -(-total // step) * step
 
         doclens = np.zeros((n,), np.int64)

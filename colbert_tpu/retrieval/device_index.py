@@ -46,6 +46,8 @@ NEG = -1e30
 class DeviceIndex:
     """All index artifacts as device arrays, plus the jitted search program."""
 
+    MAX_CELL_DUP = 4  # sub-cells per oversized cell (see build())
+
     centroids: jax.Array      # (k, dim) f32 — codec table (codes index this)
     probe_centroids: jax.Array  # (k', dim) f32 — probing table (balanced IVF
                                 # duplicates oversized cells' rows; k' >= k)
@@ -61,6 +63,10 @@ class DeviceIndex:
     n_passages: int
     nbits: int
     max_doclen: int           # padded per-passage token capacity (static)
+    # largest number of probe-table duplicates of one cell (1 = no split);
+    # searchers add (probe_dup_max - 1) probes so duplicates don't crowd out
+    # distinct cells
+    probe_dup_max: int = 1
     # telemetry: total candidates dropped by max_candidates truncation
     # (score-ordered, so the dropped ones are the weakest — but non-zero
     # overflow still means recall may differ from exhaustive probing)
@@ -80,13 +86,14 @@ class DeviceIndex:
         nbits: int,
         balance_cap: int | None = None,
     ) -> "DeviceIndex":
-        """``balance_cap`` splits IVF cells larger than the cap into
-        sub-cells whose probe centroids are duplicates of the original
-        (identical probe scores, so ``top_k`` picks a big cell's sub-cells
-        together): the static per-probe entry budget shrinks to the cap
-        while oversized cells stay fully probeable — strictly better than
-        truncating them. Codec centroids (what codes decompress against)
-        are untouched. None = no splitting."""
+        """``balance_cap`` splits IVF cells larger than the cap into at most
+        ``MAX_CELL_DUP`` sub-cells whose probe centroids are duplicates of
+        the original (identical probe scores, so ``top_k`` picks a big
+        cell's sub-cells together): the static per-probe entry budget
+        shrinks to the cap while oversized cells stay probeable up to
+        ``MAX_CELL_DUP * cap`` entries (truncation beyond that is counted
+        and warned). Codec centroids (what codes decompress against) are
+        untouched. None = no splitting."""
         N = len(codes)
         P = len(doclens)
         sentinel_eid = N
@@ -96,22 +103,45 @@ class DeviceIndex:
         centroids = np.asarray(centroids, np.float32)
         ivf = np.asarray(ivf)
         ivf_lengths = np.asarray(ivf_lengths, np.int64)
+        orig_offsets = np.concatenate([[0], np.cumsum(ivf_lengths)])[:-1]
+        probe_dup_max = 1
         if balance_cap is not None and len(ivf_lengths) and (
             int(ivf_lengths.max()) > balance_cap
         ):
-            nsub = np.maximum(1, -(-ivf_lengths // balance_cap))
+            # duplication is bounded: each probe slot a duplicate wins is a
+            # slot another cell loses, so searchers compensate nprobe by
+            # (probe_dup_max - 1); unbounded duplication would push that
+            # compensation — and the per-query entry budget — back up.
+            # Entries beyond MAX_CELL_DUP * cap of a mega-cell are truncated
+            # (the pre-balancing behavior for the whole cell).
+            nsub = np.clip(-(-ivf_lengths // balance_cap), 1, cls.MAX_CELL_DUP)
+            dropped = int(np.maximum(
+                ivf_lengths - nsub * balance_cap, 0
+            ).sum())
+            if dropped:
+                logger.warning(
+                    "balanced IVF truncates %d entries beyond %d sub-cells "
+                    "of %d (raise ivf_balance_cap to keep them)",
+                    dropped, cls.MAX_CELL_DUP, balance_cap,
+                )
             split_origin = np.repeat(
                 np.arange(len(ivf_lengths), dtype=np.int32), nsub
             )
-            # sub-cell lengths: cap-sized pieces + a remainder, vectorized
             starts = np.concatenate([[0], np.cumsum(nsub)[:-1]])
             within = np.arange(int(nsub.sum())) - np.repeat(starts, nsub)
-            sub_lengths = np.minimum(
-                balance_cap,
+            sub_lengths = np.clip(
                 np.repeat(ivf_lengths, nsub) - within * balance_cap,
+                0, balance_cap,
+            ).astype(np.int32)
+            # sub-cell offsets derive from ORIGIN offsets (truncated tails
+            # must not shift later cells' segments)
+            sub_offsets = (
+                np.repeat(orig_offsets, nsub) + within * balance_cap
             ).astype(np.int32)
             probe_centroids = centroids[split_origin]
+            probe_dup_max = int(nsub.max())
             ivf_lengths = sub_lengths
+            orig_offsets = sub_offsets
         else:
             probe_centroids = centroids
 
@@ -127,7 +157,7 @@ class DeviceIndex:
         offsets[P] = sentinel_eid  # sentinel pid reads the sentinel token row
         dl_p = np.concatenate([doclens.astype(np.int32), np.zeros(1, np.int32)])
 
-        ivf_offsets = np.concatenate([[0], np.cumsum(ivf_lengths)])[:-1].astype(np.int32)
+        ivf_offsets = orig_offsets.astype(np.int32)
         # pad the ivf tail so offset reads at empty trailing cells stay in bounds
         ivf_p = np.concatenate(
             [ivf.astype(np.int32), np.full(1, sentinel_eid, np.int32)]
@@ -151,6 +181,7 @@ class DeviceIndex:
             n_passages=P,
             nbits=nbits,
             max_doclen=max_doclen,
+            probe_dup_max=probe_dup_max,
         )
 
     # ------------------------------------------------------------------
@@ -382,13 +413,13 @@ def _search_core(
         tv = arl[None, :] < dl[:, None]
         return jnp.where(tv, ti, sentinel_eid), tv
 
-    if stage1_refine and 4 * ncandidates < max_candidates:
+    if stage1_refine and ncandidates < max_candidates:
         # hybrid funnel: the probed bound cannot separate near-duplicate
-        # candidates (same cells -> tied scores), so take a 4x-wide cut by
-        # the cheap bound, then rank those by the FULL centroid interaction
-        # (token-code gather — expensive, but over 4*NC rows instead of all
-        # candidates) before the stage-2 budget.
-        width = 4 * ncandidates
+        # candidates (same cells -> tied scores), so take a (up to) 4x-wide
+        # cut by the cheap bound, then rank those by the FULL centroid
+        # interaction (token-code gather — expensive, but over <=4*NC rows
+        # instead of all candidates) before the stage-2 budget.
+        width = min(4 * ncandidates, max_candidates)
         w_vals, w_idx = jax.lax.top_k(stage1, width)
         w_pids = jnp.where(w_vals > NEG / 2, p2[w_idx], sentinel_pid)
         w_tok_idx, w_tok_valid = tok_gather(w_pids)

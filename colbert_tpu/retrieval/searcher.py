@@ -195,9 +195,15 @@ class Searcher:
                 attend_to_mask_tokens=cfg.attend_to_mask_tokens,
             )
             ncand, threshold = self._stage_params(k)
+            # balanced-IVF duplicates of one oversized cell consume probe
+            # slots; compensate so nprobe DISTINCT cells are still typically
+            # reached (config.probe_dup_compensation trades this for speed)
+            nprobe = cfg.nprobe
+            if cfg.probe_dup_compensation:
+                nprobe += self.device_index.probe_dup_max - 1
             pids_b, scores_b = self.device_index.search_tokens_batch(
                 self.encoder.params, self.encoder.bert_config, ids, mask,
-                k=k, nprobe=cfg.nprobe, ncandidates=ncand,
+                k=k, nprobe=nprobe, ncandidates=ncand,
                 cell_cap=self.cell_cap, max_candidates=self.max_candidates,
                 centroid_threshold=threshold,
                 use_pallas=self._stage2_pallas,

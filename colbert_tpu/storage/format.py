@@ -59,6 +59,21 @@ def save_codec(
         json.dump({"avg_residual": float(avg_residual)}, f)
 
 
+CODEC_FILES = (
+    "centroids.npy", "bucket_cutoffs.npy", "bucket_weights.npy",
+    "avg_residual.json",
+)
+
+
+def codec_is_complete(index_path: str) -> bool:
+    """All four codec artifacts present (``save_codec`` writes
+    ``avg_residual.json`` last, so this doubles as a completion marker
+    against torn mid-save reads)."""
+    return all(
+        os.path.exists(os.path.join(index_path, n)) for n in CODEC_FILES
+    )
+
+
 def load_codec(index_path: str) -> dict:
     """Reference: src/loaders.jl:10-41 ``load_codec``."""
     with open(os.path.join(index_path, "avg_residual.json")) as f:

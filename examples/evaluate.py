@@ -31,17 +31,7 @@ from colbert_tpu.evaluation.runner import (
 
 
 
-def make_searcher(index_dir: str, random_weights: bool):
-    """Searcher for the index; --random-weights injects the deterministic
-    bench encoder (an index built with --random-weights must be searched
-    with it too — there is no checkpoint to load)."""
-    if random_weights:
-        from bench import make_bench_encoder
-
-        encoder, _ = make_bench_encoder()
-        return Searcher(index_dir, encoder=encoder)
-    return Searcher(index_dir)
-
+from searching import make_searcher  # shared helper (same dir)
 
 def main() -> None:
     ap = argparse.ArgumentParser()

@@ -17,7 +17,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 import logging
-import sys
 
 from colbert_tpu import ColBERTConfig, Indexer
 

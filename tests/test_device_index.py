@@ -148,16 +148,22 @@ def test_balanced_ivf_split_preserves_results(rng):
                   bucket_weights=bw, nbits=nbits)
 
     full = DeviceIndex.build(balance_cap=None, **common)
-    bal = DeviceIndex.build(balance_cap=8, **common)
+    cap = 16  # ceil(max_cell / cap) stays within MAX_CELL_DUP: no truncation
+    nsub = np.clip(-(-ivf_lengths // cap), 1, DeviceIndex.MAX_CELL_DUP)
+    assert int((-(-ivf_lengths // cap)).max()) <= DeviceIndex.MAX_CELL_DUP
+    bal = DeviceIndex.build(balance_cap=cap, **common)
     # sub-cell lengths repartition the originals exactly
     assert int(np.asarray(bal.ivf_lengths).sum()) == N
-    assert int(np.asarray(bal.ivf_lengths).max()) <= 8
-    assert bal.probe_centroids.shape[0] > k
+    assert int(np.asarray(bal.ivf_lengths).max()) <= cap
+    assert bal.probe_centroids.shape[0] == int(nsub.sum()) > k
+    assert bal.probe_dup_max == int(nsub.max())
 
     Q = jnp.asarray(rng.standard_normal((2, 8, dim)).astype(np.float32))
-    nsub_max = int(np.ceil(ivf_lengths.max() / 8))
     kw = dict(k=5, ncandidates=P, max_candidates=256, use_pallas=False)
-    p_full, s_full = full.search_Q_batch(Q, nprobe=k, cell_cap=int(ivf_lengths.max()), **kw)
-    p_bal, s_bal = bal.search_Q_batch(Q, nprobe=k + nsub_max, cell_cap=8, **kw)
+    p_full, s_full = full.search_Q_batch(
+        Q, nprobe=k, cell_cap=int(ivf_lengths.max()), **kw
+    )
+    # probing every sub-cell covers every entry the unbalanced index reads
+    p_bal, s_bal = bal.search_Q_batch(Q, nprobe=int(nsub.sum()), cell_cap=cap, **kw)
     np.testing.assert_array_equal(p_full, p_bal)
     np.testing.assert_allclose(s_full, s_bal, rtol=1e-4, atol=1e-4)
