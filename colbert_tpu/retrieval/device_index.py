@@ -214,6 +214,7 @@ class DeviceIndex:
         centroid_threshold: float | None = None,
         use_pallas: bool = False,
         stage1_refine: bool = True,
+        force_float_sort: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Pre-encoded queries (B, Lq, dim) -> (pids (B, k), scores (B, k))."""
         B, Lq, _ = Q.shape
@@ -230,7 +231,7 @@ class DeviceIndex:
             k=k_eff, nprobe=nprobe, ncandidates=ncand,
             cell_cap=cell_cap, max_candidates=mc,
             centroid_threshold=centroid_threshold, use_pallas=use_pallas,
-            stage1_refine=stage1_refine,
+            stage1_refine=stage1_refine, force_float_sort=force_float_sort,
         )
         return self._postprocess(
             np.asarray(pids), np.asarray(scores), np.asarray(overflow), k
@@ -306,6 +307,7 @@ def _search_core(
     centroid_threshold: float | None = None,
     use_pallas: bool = False,
     stage1_refine: bool = True,
+    force_float_sort: bool = False,  # testing hook for the >2^26-pid path
 ):
     Lq, dim = Q.shape
     sentinel_eid = codes.shape[0] - 1
@@ -362,7 +364,7 @@ def _search_core(
     # sort), valid for corpora up to 2^31 / next_pow2(Lq) passages (67M at
     # Lq=32); beyond that, a float q-sort + stable pid sort.
     qbits = max(1, (Lq - 1).bit_length())
-    if sentinel_pid < (1 << (31 - qbits)):
+    if sentinel_pid < (1 << (31 - qbits)) and not force_float_sort:
         key = (flat_pids.astype(jnp.int32) << qbits) | flat_q
         ord2 = jnp.argsort(key)
         p2, a2, q2 = flat_pids[ord2], flat_adj[ord2], flat_q[ord2]
@@ -541,7 +543,7 @@ def _stage2_scores(
 _STATIC = (
     "sentinel_pid", "nbits", "max_doclen", "k", "nprobe", "ncandidates",
     "cell_cap", "max_candidates", "centroid_threshold", "use_pallas",
-    "stage1_refine",
+    "stage1_refine", "force_float_sort",
 )
 
 

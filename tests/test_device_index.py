@@ -167,3 +167,19 @@ def test_balanced_ivf_split_preserves_results(rng):
     p_bal, s_bal = bal.search_Q_batch(Q, nprobe=int(nsub.sum()), cell_cap=cap, **kw)
     np.testing.assert_array_equal(p_full, p_bal)
     np.testing.assert_allclose(s_full, s_bal, rtol=1e-4, atol=1e-4)
+
+
+def test_float_sort_fallback_matches_int_path(built):
+    """Corpora beyond the int32 composite-key range take a two-sort float
+    path; it must produce identical results to the int path."""
+    import jax.numpy as jnp
+
+    cfg, encoder, passages, path = built
+    s = Searcher(path, encoder=encoder)
+    Q = jnp.asarray(encoder.encode_queries([passages[9], passages[41]]))
+    kw = dict(k=5, nprobe=4, ncandidates=64, cell_cap=s.cell_cap,
+              max_candidates=s.max_candidates, centroid_threshold=0.45)
+    p_int, s_int = s.device_index.search_Q_batch(Q, **kw)
+    p_flt, s_flt = s.device_index.search_Q_batch(Q, force_float_sort=True, **kw)
+    np.testing.assert_array_equal(p_int, p_flt)
+    np.testing.assert_allclose(s_int, s_flt, rtol=1e-5, atol=1e-5)
