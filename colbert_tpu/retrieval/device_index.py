@@ -6,11 +6,13 @@ sort). On a TPU the device<->host link and per-program dispatch are the
 scarce resources, so the entire index lives in HBM and a *batch* of queries
 is ONE jitted program — query BERT encode included:
 
-    tokenize (host) -> [one program: BERT query encode -> centroid scores ->
-    top-nprobe cells (+ PLAID cell-score pruning) -> padded IVF gather ->
-    on-device pid dedup fused with gather-free stage-1 ranking (per-pid
-    sum of per-query-token probed-entry maxima, WARP/XTR-style imputation)
-    -> top-ncandidates -> chunked pallas fused decompress + MaxSim ->
+    tokenize (host) -> [one program: BERT query encode -> probe-table scores
+    (balanced IVF: oversized cells split into duplicated-centroid sub-cells)
+    -> top-nprobe cells (+ PLAID cell-score pruning) -> padded IVF gather ->
+    on-device pid dedup fused with gather-free stage-1 ranking (per-pid sum
+    of per-query-token probed-entry maxima, midpoint of the WARP/XTR
+    imputation bounds) -> optional 4x-wide full-centroid refine ->
+    top-ncandidates -> chunked pallas fused decompress + MaxSim ->
     final top-k] -> (B, k) pids + scores back to host
 
 All shapes are static (``nprobe``, per-cell cap, dedup capacity, stage-2
