@@ -220,3 +220,49 @@ def test_build_and_search_nbits4(tmp_path):
     pids, scores = s.search_batch([passages[3], passages[30]], k=3)
     assert pids[0][0] == 3 and pids[1][0] == 30
     assert (np.diff(scores[0][scores[0] > -np.inf]) <= 1e-6).all()
+
+
+def test_multirank_build_concurrent_processes(built_index, tmp_path):
+    """TWO concurrent rank processes on a shared index dir: rank 1 must wait
+    for rank 0's codec (not race-train its own), and whichever finishes last
+    must complete the IVF. Result matches the single-rank build."""
+    import os
+    import subprocess
+    import sys
+
+    cfg, encoder, passages, path = built_index
+    path2 = str(tmp_path / "idx_concurrent")
+    script = r"""
+import sys, os
+sys.path.insert(0, {root!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import dataclasses
+from colbert_tpu.config import ColBERTConfig
+from colbert_tpu.indexing.builder import Indexer
+from colbert_tpu.utils.testing import make_encoder, synthetic_collection
+
+rank = int(sys.argv[1])
+cfg = ColBERTConfig(
+    dim=32, doc_maxlen=64, query_maxlen=16, index_bsize=8, length_bucket=16,
+    chunksize=16, nbits=2, kmeans_niters=6, nprobe=4, mesh_data_axis=1,
+    nranks=2, rank=rank,
+)
+enc = make_encoder(dim=32, seed=0, config=cfg)
+passages = synthetic_collection(40, seed=1)
+Indexer(cfg, encoder=enc, collection=passages).index({path!r})
+""".format(root=os.getcwd(), path=path2)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(r)], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for r in (1, 0)  # start the WAITING rank first to force the race
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+    assert fmt.check_all_files_saved(path2) == []
+    np.testing.assert_array_equal(
+        fmt.load_all_codes(path2), fmt.load_all_codes(path)
+    )
