@@ -41,7 +41,9 @@ def _pad_to(arr: np.ndarray, n: int, fill) -> np.ndarray:
 @dataclass
 class ShardedDeviceIndex:
     mesh: Mesh
-    centroids: jax.Array       # (k, dim) replicated
+    centroids: jax.Array       # (k, dim) replicated — codec table
+    probe_cents: jax.Array     # (D, K', dim) sharded — per-shard probe table
+                               # (balanced IVF duplicates; padded across shards)
     bucket_weights: jax.Array  # (2^nbits,) replicated
     codes: jax.Array           # (D, Ns+1) sharded on axis 0
     residuals: jax.Array       # (D, Ns+1, nbytes)
@@ -56,6 +58,7 @@ class ShardedDeviceIndex:
     n_passages: int
     nbits: int
     max_doclen: int
+    probe_dup_max: int = 1     # see DeviceIndex.probe_dup_max
 
     @classmethod
     def build(
@@ -68,9 +71,12 @@ class ShardedDeviceIndex:
         doclens: np.ndarray,
         bucket_weights: np.ndarray,
         nbits: int,
+        balance_cap: int | None = None,
     ) -> "ShardedDeviceIndex":
         """Partition passages contiguously into ``mesh.shape['data']`` shards
-        and build each shard's local IVF from its codes slice."""
+        and build each shard's local IVF from its codes slice.
+        ``balance_cap`` splits oversized local cells per shard (see
+        :func:`colbert_tpu.retrieval.device_index.balance_cells`)."""
         ndev = mesh.shape["data"]
         P_total = len(doclens)
         k = centroids.shape[0]
@@ -102,11 +108,36 @@ class ShardedDeviceIndex:
 
         # pad every shard to (Ps_max, Ns_max) and add sentinels (see
         # DeviceIndex.build for the sentinel scheme)
+        from colbert_tpu.retrieval.device_index import balance_cells
+
+        centroids = np.asarray(centroids, np.float32)
+        # per-shard balanced split (lengths/offsets/origin); pad the probe
+        # tables to a common K' across shards with zero-length duplicates of
+        # cell 0 (identical score ties waste at most a probe slot and read
+        # zero entries)
+        splits = []
+        probe_dup_max = 1
+        K_max = k
+        for _, _, _, _, ivf_len in shards:
+            offs0 = np.concatenate([[0], np.cumsum(ivf_len)])[:-1]
+            if balance_cap is not None and len(ivf_len) and (
+                int(ivf_len.max()) > balance_cap
+            ):
+                sl, so, origin, dup = balance_cells(ivf_len, offs0, balance_cap)
+                probe_dup_max = max(probe_dup_max, dup)
+            else:
+                sl = np.asarray(ivf_len, np.int32)
+                so = offs0.astype(np.int32)
+                origin = np.arange(len(ivf_len), dtype=np.int32)
+            splits.append((sl, so, origin))
+            K_max = max(K_max, len(sl))
+
         A = {
             "codes": [], "residuals": [], "ivf": [], "ivf_offsets": [],
             "ivf_lengths": [], "emb2pid": [], "doclens": [], "emb_offsets": [],
+            "probe_cents": [],
         }
-        for dl, lc, lr, ivf_local, ivf_len in shards:
+        for (dl, lc, lr, ivf_local, ivf_len), (sl, so, origin) in zip(shards, splits):
             Ns, Ps = len(lc), len(dl)
             sent_eid, sent_pid = Ns_max, Ps_max
             codes_p = np.zeros(Ns_max + 1, np.uint32)
@@ -124,9 +155,11 @@ class ShardedDeviceIndex:
             A["codes"].append(codes_p)
             A["residuals"].append(res_p)
             A["ivf"].append(ivf_p)
-            A["ivf_offsets"].append(
-                np.concatenate([[0], np.cumsum(ivf_len)])[:-1].astype(np.int32))
-            A["ivf_lengths"].append(ivf_len)
+            A["ivf_offsets"].append(_pad_to(so, K_max, 0))
+            A["ivf_lengths"].append(_pad_to(sl, K_max, 0))
+            A["probe_cents"].append(
+                centroids[_pad_to(origin, K_max, 0)]
+            )
             A["emb2pid"].append(e2p)
             A["doclens"].append(dl_p)
             A["emb_offsets"].append(offs)
@@ -141,13 +174,14 @@ class ShardedDeviceIndex:
 
         return cls(
             mesh=mesh,
-            centroids=jax.device_put(np.asarray(centroids, np.float32), repl),
+            centroids=jax.device_put(centroids, repl),
             bucket_weights=jax.device_put(np.asarray(bucket_weights, np.float32), repl),
             pid_base=pid_base,
             shard_passages=Ps_max,
             n_passages=P_total,
             nbits=nbits,
             max_doclen=max_doclen,
+            probe_dup_max=probe_dup_max,
             **stacked,
         )
 
@@ -176,9 +210,9 @@ class ShardedDeviceIndex:
         repl = NamedSharding(self.mesh, P())
         local_pids, local_scores, _overflow = fn(
             jax.device_put(Q, repl),
-            self.centroids, self.codes, self.residuals, self.ivf,
-            self.ivf_offsets, self.ivf_lengths, self.emb2pid, self.doclens,
-            self.emb_offsets, self.bucket_weights,
+            self.centroids, self.probe_cents, self.codes, self.residuals,
+            self.ivf, self.ivf_offsets, self.ivf_lengths, self.emb2pid,
+            self.doclens, self.emb_offsets, self.bucket_weights,
         )
         # host merge: (D, B, k_local) -> global pids, top-k per query
         lp = np.asarray(local_pids)     # (D, B, kl)
@@ -203,7 +237,8 @@ def _sharded_search_fn(mesh, **static):
         mesh=mesh,
         in_specs=(
             P(),              # Q replicated
-            P(),              # centroids
+            P(),              # centroids (codec table)
+            P("data"),        # probe_cents (per-shard probe table)
             P("data"), P("data"), P("data"), P("data"), P("data"),
             P("data"), P("data"), P("data"),
             P(),              # bucket_weights
@@ -211,13 +246,13 @@ def _sharded_search_fn(mesh, **static):
         out_specs=(P("data"), P("data"), P("data")),
         check_vma=False,
     )
-    def search(Q, centroids, codes, residuals, ivf, ivf_offsets, ivf_lengths,
-               emb2pid, doclens, emb_offsets, bucket_weights):
+    def search(Q, centroids, probe_cents, codes, residuals, ivf,
+               ivf_offsets, ivf_lengths, emb2pid, doclens, emb_offsets,
+               bucket_weights):
         # local shard arrays arrive with a leading length-1 device axis
         def one(q):
-            # sharded path has no balanced-IVF split: probe table == codec
             return _search_core(
-                q, centroids, centroids, codes[0], residuals[0], ivf[0],
+                q, centroids, probe_cents[0], codes[0], residuals[0], ivf[0],
                 ivf_offsets[0], ivf_lengths[0], emb2pid[0], doclens[0],
                 emb_offsets[0], bucket_weights, **static,
             )

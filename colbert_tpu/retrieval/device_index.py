@@ -44,11 +44,43 @@ __all__ = ["DeviceIndex"]
 NEG = -1e30
 
 
+MAX_CELL_DUP = 4  # sub-cells per oversized cell (see balance_cells)
+
+
+def balance_cells(
+    ivf_lengths: np.ndarray, orig_offsets: np.ndarray, balance_cap: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Split cells larger than ``balance_cap`` into at most ``MAX_CELL_DUP``
+    sub-cells -> (sub_lengths int32, sub_offsets int32, split_origin int32,
+    dup_max). Sub-cell offsets derive from ORIGIN offsets so truncated tails
+    never shift later cells' segments. Used by both the single-device and
+    the sharded index builders."""
+    ivf_lengths = np.asarray(ivf_lengths, np.int64)
+    nsub = np.clip(-(-ivf_lengths // balance_cap), 1, MAX_CELL_DUP)
+    dropped = int(np.maximum(ivf_lengths - nsub * balance_cap, 0).sum())
+    if dropped:
+        logger.warning(
+            "balanced IVF truncates %d entries beyond %d sub-cells of %d "
+            "(raise ivf_balance_cap to keep them)",
+            dropped, MAX_CELL_DUP, balance_cap,
+        )
+    split_origin = np.repeat(np.arange(len(ivf_lengths), dtype=np.int32), nsub)
+    starts = np.concatenate([[0], np.cumsum(nsub)[:-1]])
+    within = np.arange(int(nsub.sum())) - np.repeat(starts, nsub)
+    sub_lengths = np.clip(
+        np.repeat(ivf_lengths, nsub) - within * balance_cap, 0, balance_cap
+    ).astype(np.int32)
+    sub_offsets = (
+        np.repeat(np.asarray(orig_offsets), nsub) + within * balance_cap
+    ).astype(np.int32)
+    return sub_lengths, sub_offsets, split_origin, int(nsub.max())
+
+
 @dataclass
 class DeviceIndex:
     """All index artifacts as device arrays, plus the jitted search program."""
 
-    MAX_CELL_DUP = 4  # sub-cells per oversized cell (see build())
+    MAX_CELL_DUP = MAX_CELL_DUP  # sub-cells per oversized cell (see build())
 
     centroids: jax.Array      # (k, dim) f32 — codec table (codes index this)
     probe_centroids: jax.Array  # (k', dim) f32 — probing table (balanced IVF
@@ -116,32 +148,10 @@ class DeviceIndex:
             # compensation — and the per-query entry budget — back up.
             # Entries beyond MAX_CELL_DUP * cap of a mega-cell are truncated
             # (the pre-balancing behavior for the whole cell).
-            nsub = np.clip(-(-ivf_lengths // balance_cap), 1, cls.MAX_CELL_DUP)
-            dropped = int(np.maximum(
-                ivf_lengths - nsub * balance_cap, 0
-            ).sum())
-            if dropped:
-                logger.warning(
-                    "balanced IVF truncates %d entries beyond %d sub-cells "
-                    "of %d (raise ivf_balance_cap to keep them)",
-                    dropped, cls.MAX_CELL_DUP, balance_cap,
-                )
-            split_origin = np.repeat(
-                np.arange(len(ivf_lengths), dtype=np.int32), nsub
+            sub_lengths, sub_offsets, split_origin, probe_dup_max = (
+                balance_cells(ivf_lengths, orig_offsets, balance_cap)
             )
-            starts = np.concatenate([[0], np.cumsum(nsub)[:-1]])
-            within = np.arange(int(nsub.sum())) - np.repeat(starts, nsub)
-            sub_lengths = np.clip(
-                np.repeat(ivf_lengths, nsub) - within * balance_cap,
-                0, balance_cap,
-            ).astype(np.int32)
-            # sub-cell offsets derive from ORIGIN offsets (truncated tails
-            # must not shift later cells' segments)
-            sub_offsets = (
-                np.repeat(orig_offsets, nsub) + within * balance_cap
-            ).astype(np.int32)
             probe_centroids = centroids[split_origin]
-            probe_dup_max = int(nsub.max())
             ivf_lengths = sub_lengths
             orig_offsets = sub_offsets
         else:

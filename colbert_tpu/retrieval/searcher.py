@@ -93,6 +93,8 @@ class Searcher:
             self.mesh = make_mesh(
                 self.config.mesh_data_axis, self.config.mesh_model_axis
             )
+            bal = self.config.ivf_balance_cap
+            balance_cap = 1024 if bal is None else (bal if bal > 0 else None)
             self.sharded_index = ShardedDeviceIndex.build(
                 self.mesh,
                 centroids=np.asarray(self.centroids),
@@ -101,6 +103,7 @@ class Searcher:
                 doclens=np.asarray(self.doclens, np.int64),
                 bucket_weights=np.asarray(self.bucket_weights),
                 nbits=self.config.nbits,
+                balance_cap=balance_cap,
             )
             self.codes = self.residuals = None
             self.emb2pid = self.emb_offsets = None
@@ -218,8 +221,11 @@ class Searcher:
         if self.backend == "sharded":
             Q = jnp.asarray(self.encoder.encode_queries(list(queries)))
             ncand, threshold = self._stage_params(k)
+            nprobe = cfg.nprobe
+            if cfg.probe_dup_compensation:
+                nprobe += self.sharded_index.probe_dup_max - 1
             pids_b, scores_b = self.sharded_index.search_Q_batch(
-                Q, k=k, nprobe=cfg.nprobe, ncandidates=ncand,
+                Q, k=k, nprobe=nprobe, ncandidates=ncand,
                 cell_cap=self.cell_cap, max_candidates=self.max_candidates,
                 centroid_threshold=threshold,
                 stage1_refine=cfg.plaid_stage1_refine,

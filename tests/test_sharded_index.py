@@ -79,3 +79,39 @@ def test_sharded_pid_ranges(built):
     valid = pids[0][pids[0] >= 0]
     assert len(np.unique(valid)) == len(valid)
     assert valid.max() < len(passages)
+
+
+def test_sharded_balanced_matches_unbalanced(built, rng):
+    """Per-shard balanced IVF (duplicated-centroid sub-cells padded to a
+    common K' across shards) must reproduce the unbalanced sharded results
+    when enough probes cover the splits."""
+    from colbert_tpu.storage import format as fmt
+
+    cfg, encoder, passages, s = built
+    codes = fmt.load_all_codes(s.index_path)
+    residuals = fmt.load_all_residuals(s.index_path)
+    common = dict(
+        centroids=np.asarray(s.centroids), codes=codes, residuals=residuals,
+        doclens=np.asarray(s.doclens, np.int64),
+        bucket_weights=np.asarray(s.bucket_weights), nbits=cfg.nbits,
+    )
+    mesh = make_mesh(4, 1)
+    plain = ShardedDeviceIndex.build(mesh, balance_cap=None, **common)
+    cap = 8
+    bal = ShardedDeviceIndex.build(mesh, balance_cap=cap, **common)
+    assert bal.probe_cents.shape[1] >= plain.ivf_lengths.shape[1]
+    assert int(np.asarray(bal.ivf_lengths).max()) <= cap
+
+    queries = [passages[3], passages[55], "the dog runs"]
+    Q = jnp.asarray(encoder.encode_queries(queries))
+    k_cells = int(np.asarray(s.centroids).shape[0])
+    kw = dict(k=5, ncandidates=64, max_candidates=512)
+    p1, s1 = plain.search_Q_batch(
+        Q, nprobe=k_cells, cell_cap=1024, **kw
+    )
+    # probe every sub-cell: K' slots cover everything each shard holds
+    p2, s2 = bal.search_Q_batch(
+        Q, nprobe=int(bal.probe_cents.shape[1]), cell_cap=cap, **kw
+    )
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-4)
