@@ -138,6 +138,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp()
     try:
         # --- headline: full index build, steady state (vs 16.1 p/s) ---
+        # (a build failure propagates: no headline without a build)
         t1 = time.time()
         Indexer(cfg, encoder=encoder, collection=passages).index(tmp + "/warm")
         cold = time.time() - t1
@@ -150,64 +151,16 @@ def main() -> None:
         log(f"index build #2 (steady state): {n} passages in {bt:.1f}s "
             f"= {build_pps:.1f} p/s (baseline {BASELINE_BUILD_PASSAGES_PER_SEC})")
 
-        # --- serving: batched QPS + single-query latency ---
-        s = Searcher(tmp + "/idx", encoder=encoder)
-        queries = synthetic_queries(128)
-        s.search_batch(queries[:32], k=10)  # warm/compile
-        t2 = time.time()
-        reps = 4
-        for r in range(reps):
-            s.search_batch(queries[32 * (r % 3):32 * (r % 3) + 32], k=10)
-        qps = reps * 32 / (time.time() - t2)
-        log(f"batched search (B=32, warm, quality-first defaults): "
-            f"{qps:.1f} QPS/chip")
-        # throughput-tuned operating point: skip the stage-1 full-centroid
-        # refine and probe exactly nprobe slots (quality still verified by
-        # the success@1 probe below, which runs with the defaults)
-        s.config.plaid_stage1_refine = False
-        s.config.probe_dup_compensation = False
-        s.search_batch(queries[:32], k=10)  # warm the new program
-        t2 = time.time()
-        for r in range(reps):
-            s.search_batch(queries[32 * (r % 3):32 * (r % 3) + 32], k=10)
-        qps_fast = reps * 32 / (time.time() - t2)
-        log(f"batched search (B=32, warm, throughput-tuned): "
-            f"{qps_fast:.1f} QPS/chip")
-        s.config.plaid_stage1_refine = True
-        s.config.probe_dup_compensation = True
-        s.search(queries[0], k=10)  # warm the B=1 program
-        t3 = time.time()
-        for i in range(20):
-            s.search(queries[i % len(queries)], k=10)
-        lat = (time.time() - t3) / 20 * 1000
-        log(f"single-query latency (warm): {lat:.1f} ms")
-        # retrieval sanity on the topical corpus: a passage is its own best
-        # match
-        p_self, _ = s.search_batch([passages[5], passages[900]], k=3)
-        assert p_self[0][0] == 5 and p_self[1][0] == 900, p_self
+        # secondary metrics must never break the headline: once the build
+        # succeeded, any serving/quality failure is logged and the one
+        # headline JSON line still prints (driver contract)
+        try:
+            serve_and_probe(encoder, cfg, tmp, passages, n)
+        except Exception:
+            import traceback
 
-        # pruning quality with REAL relevance signal: queries are passage
-        # prefixes, ground truth is the passage itself; the PLAID funnel
-        # must not lose it vs exhaustive candidate scoring. (Top-10 OVERLAP
-        # is not meaningful here: random weights leave the tail of the
-        # ranking in statistical ties.)
-        import jax.numpy as jnp
-
-        probe = list(range(0, n, n // 32))[:32]
-        Qe = jnp.asarray(
-            s.encoder.encode_queries([passages[i][:200] for i in probe]))
-        kw = dict(k=10, nprobe=cfg.nprobe, cell_cap=s.cell_cap,
-                  max_candidates=s.max_candidates, use_pallas=s._stage2_pallas)
-        p_pruned, _ = s.device_index.search_Q_batch(
-            Qe, ncandidates=cfg.plaid_stage2_docs or 1024,
-            centroid_threshold=cfg.centroid_score_threshold, **kw)
-        p_full, _ = s.device_index.search_Q_batch(
-            Qe, ncandidates=s.max_candidates, centroid_threshold=None,
-            stage1_refine=False, **kw)
-        s1_pr = float(np.mean([p_pruned[b][0] == probe[b] for b in range(32)]))
-        s1_full = float(np.mean([p_full[b][0] == probe[b] for b in range(32)]))
-        log(f"self-retrieval success@1: pruned funnel {s1_pr:.3f} vs "
-            f"exhaustive {s1_full:.3f}")
+            log("secondary (serving/quality) bench section failed:")
+            traceback.print_exc(file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -217,6 +170,69 @@ def main() -> None:
         "unit": "passages/s",
         "vs_baseline": round(build_pps / BASELINE_BUILD_PASSAGES_PER_SEC, 2),
     }))
+
+
+def serve_and_probe(encoder, cfg, tmp, passages, n) -> None:
+    """Serving QPS/latency + funnel-quality probes (non-headline metrics)."""
+    from colbert_tpu.retrieval.searcher import Searcher
+
+    s = Searcher(tmp + "/idx", encoder=encoder)
+    queries = synthetic_queries(128)
+    s.search_batch(queries[:32], k=10)  # warm/compile
+    t2 = time.time()
+    reps = 4
+    for r in range(reps):
+        s.search_batch(queries[32 * (r % 3):32 * (r % 3) + 32], k=10)
+    qps = reps * 32 / (time.time() - t2)
+    log(f"batched search (B=32, warm, quality-first defaults): "
+        f"{qps:.1f} QPS/chip")
+    # throughput-tuned operating point: skip the stage-1 full-centroid
+    # refine and probe exactly nprobe slots (quality still verified by
+    # the success@1 probe below, which runs with the defaults)
+    s.config.plaid_stage1_refine = False
+    s.config.probe_dup_compensation = False
+    s.search_batch(queries[:32], k=10)  # warm the new program
+    t2 = time.time()
+    for r in range(reps):
+        s.search_batch(queries[32 * (r % 3):32 * (r % 3) + 32], k=10)
+    qps_fast = reps * 32 / (time.time() - t2)
+    log(f"batched search (B=32, warm, throughput-tuned): "
+        f"{qps_fast:.1f} QPS/chip")
+    s.config.plaid_stage1_refine = True
+    s.config.probe_dup_compensation = True
+    s.search(queries[0], k=10)  # warm the B=1 program
+    t3 = time.time()
+    for i in range(20):
+        s.search(queries[i % len(queries)], k=10)
+    lat = (time.time() - t3) / 20 * 1000
+    log(f"single-query latency (warm): {lat:.1f} ms")
+    # retrieval sanity on the topical corpus: a passage is its own best
+    # match
+    p_self, _ = s.search_batch([passages[5], passages[900]], k=3)
+    assert p_self[0][0] == 5 and p_self[1][0] == 900, p_self
+
+    # pruning quality with REAL relevance signal: queries are passage
+    # prefixes, ground truth is the passage itself; the PLAID funnel
+    # must not lose it vs exhaustive candidate scoring. (Top-10 OVERLAP
+    # is not meaningful here: random weights leave the tail of the
+    # ranking in statistical ties.)
+    import jax.numpy as jnp
+
+    probe = list(range(0, n, n // 32))[:32]
+    Qe = jnp.asarray(
+        s.encoder.encode_queries([passages[i][:200] for i in probe]))
+    kw = dict(k=10, nprobe=cfg.nprobe, cell_cap=s.cell_cap,
+              max_candidates=s.max_candidates, use_pallas=s._stage2_pallas)
+    p_pruned, _ = s.device_index.search_Q_batch(
+        Qe, ncandidates=cfg.plaid_stage2_docs or 1024,
+        centroid_threshold=cfg.centroid_score_threshold, **kw)
+    p_full, _ = s.device_index.search_Q_batch(
+        Qe, ncandidates=s.max_candidates, centroid_threshold=None,
+        stage1_refine=False, **kw)
+    s1_pr = float(np.mean([p_pruned[b][0] == probe[b] for b in range(32)]))
+    s1_full = float(np.mean([p_full[b][0] == probe[b] for b in range(32)]))
+    log(f"self-retrieval success@1: pruned funnel {s1_pr:.3f} vs "
+        f"exhaustive {s1_full:.3f}")
 
 
 if __name__ == "__main__":

@@ -120,6 +120,14 @@ class Indexer:
                 logger.info("index at %s already complete; skipping", index_path)
                 return index_path
         if overwrite:
+            # rank-0-only: a non-zero rank clearing the shared dir mid-build
+            # would delete rank 0's freshly written plan/codec, stranding
+            # every waiting rank
+            if max(1, self.config.nranks) > 1 and self.config.rank != 0:
+                raise ValueError(
+                    "overwrite=True is only valid on rank 0 in a multi-rank "
+                    "build (it clears the shared index dir)"
+                )
             _clear_index_dir(index_path)
         os.makedirs(index_path, exist_ok=True)
         _build(self.config, self.encoder, self.passages, index_path)

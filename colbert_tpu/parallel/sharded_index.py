@@ -53,11 +53,13 @@ class ShardedDeviceIndex:
     emb2pid: jax.Array         # (D, Ns+1) local pids
     doclens: jax.Array         # (D, Ps+1)
     emb_offsets: jax.Array     # (D, Ps+1)
+    n_cells: jax.Array         # (D, 1) int32: valid probe-table rows per shard
     pid_base: np.ndarray       # (D,) host: global pid offset per shard
     shard_passages: int        # Ps (padded local passage capacity)
     n_passages: int
     nbits: int
     max_doclen: int
+    min_ncells: int = 1        # smallest per-shard valid probe-table size
     probe_dup_max: int = 1     # see DeviceIndex.probe_dup_max
 
     @classmethod
@@ -112,9 +114,10 @@ class ShardedDeviceIndex:
 
         centroids = np.asarray(centroids, np.float32)
         # per-shard balanced split (lengths/offsets/origin); pad the probe
-        # tables to a common K' across shards with zero-length duplicates of
-        # cell 0 (identical score ties waste at most a probe slot and read
-        # zero entries)
+        # tables to a common K' across shards. Pad rows are UNSELECTABLE:
+        # each shard carries its valid-cell count and the search masks pad
+        # columns to -inf before top_k (a pad duplicating any real cell would
+        # tie with it and crowd distinct cells out of the probe slots).
         splits = []
         probe_dup_max = 1
         K_max = k
@@ -135,8 +138,9 @@ class ShardedDeviceIndex:
         A = {
             "codes": [], "residuals": [], "ivf": [], "ivf_offsets": [],
             "ivf_lengths": [], "emb2pid": [], "doclens": [], "emb_offsets": [],
-            "probe_cents": [],
+            "probe_cents": [], "n_cells": [],
         }
+        min_ncells = K_max
         for (dl, lc, lr, ivf_local, ivf_len), (sl, so, origin) in zip(shards, splits):
             Ns, Ps = len(lc), len(dl)
             sent_eid, sent_pid = Ns_max, Ps_max
@@ -160,6 +164,8 @@ class ShardedDeviceIndex:
             A["probe_cents"].append(
                 centroids[_pad_to(origin, K_max, 0)]
             )
+            A["n_cells"].append(np.asarray([len(sl)], np.int32))
+            min_ncells = min(min_ncells, len(sl))
             A["emb2pid"].append(e2p)
             A["doclens"].append(dl_p)
             A["emb_offsets"].append(offs)
@@ -181,6 +187,7 @@ class ShardedDeviceIndex:
             n_passages=P_total,
             nbits=nbits,
             max_doclen=max_doclen,
+            min_ncells=min_ncells,
             probe_dup_max=probe_dup_max,
             **stacked,
         )
@@ -212,7 +219,7 @@ class ShardedDeviceIndex:
             jax.device_put(Q, repl),
             self.centroids, self.probe_cents, self.codes, self.residuals,
             self.ivf, self.ivf_offsets, self.ivf_lengths, self.emb2pid,
-            self.doclens, self.emb_offsets, self.bucket_weights,
+            self.doclens, self.emb_offsets, self.bucket_weights, self.n_cells,
         )
         # host merge: (D, B, k_local) -> global pids, top-k per query
         lp = np.asarray(local_pids)     # (D, B, kl)
@@ -242,19 +249,21 @@ def _sharded_search_fn(mesh, **static):
             P("data"), P("data"), P("data"), P("data"), P("data"),
             P("data"), P("data"), P("data"),
             P(),              # bucket_weights
+            P("data"),        # n_cells (valid probe rows per shard)
         ),
         out_specs=(P("data"), P("data"), P("data")),
         check_vma=False,
     )
     def search(Q, centroids, probe_cents, codes, residuals, ivf,
                ivf_offsets, ivf_lengths, emb2pid, doclens, emb_offsets,
-               bucket_weights):
+               bucket_weights, n_cells):
         # local shard arrays arrive with a leading length-1 device axis
         def one(q):
             return _search_core(
                 q, centroids, probe_cents[0], codes[0], residuals[0], ivf[0],
                 ivf_offsets[0], ivf_lengths[0], emb2pid[0], doclens[0],
-                emb_offsets[0], bucket_weights, **static,
+                emb_offsets[0], bucket_weights, probe_ncells=n_cells[0, 0],
+                **static,
             )
 
         pids, scores, overflow = jax.vmap(one)(Q)   # (B, k)

@@ -101,9 +101,10 @@ class DeviceIndex:
     # searchers add (probe_dup_max - 1) probes so duplicates don't crowd out
     # distinct cells
     probe_dup_max: int = 1
-    # telemetry: total candidates dropped by max_candidates truncation
-    # (score-ordered, so the dropped ones are the weakest — but non-zero
-    # overflow still means recall may differ from exhaustive probing)
+    # telemetry: total candidates dropped beyond the stage-1 selection width
+    # (the refine's 4x window or ncandidates; score-ordered, so the dropped
+    # ones are the weakest — but non-zero overflow still means recall may
+    # differ from exhaustive probing)
     overflow_candidates: int = field(default=0, compare=False)
 
     @classmethod
@@ -290,9 +291,11 @@ class DeviceIndex:
             # warn once per index; the running counter stays queryable
             logger.log(
                 logging.WARNING if first else logging.DEBUG,
-                "candidate dedup overflow: %d candidates dropped "
-                "(lowest stage-0 scores; raise search_max_candidates "
-                "to score them; total dropped: %d)",
+                "stage-1 selection overflow: %d candidates dropped beyond "
+                "the selection width (lowest stage-1 scores; widen "
+                "plaid_stage2_docs/ncandidates — and search_max_candidates, "
+                "which caps the refine window — to score them; "
+                "total dropped: %d)",
                 dropped, self.overflow_candidates,
             )
         out_p = np.full((B, k), -1, np.int64)
@@ -320,6 +323,7 @@ def _search_core(
     use_pallas: bool = False,
     stage1_refine: bool = True,
     force_float_sort: bool = False,  # testing hook for the >2^26-pid path
+    probe_ncells=None,  # traced scalar: valid probe-table rows (sharded pads)
 ):
     Lq, dim = Q.shape
     sentinel_eid = codes.shape[0] - 1
@@ -329,6 +333,12 @@ def _search_core(
     cscores_probe = jnp.dot(
         Q, probe_cents.T, preferred_element_type=jnp.float32
     )  # (Lq, k')
+    if probe_ncells is not None:
+        # sharded probe tables are padded to a common K' across shards; pad
+        # rows must never win a probe slot (they would tie with whatever
+        # cell's centroid fills them and crowd out real cells)
+        col = jnp.arange(cscores_probe.shape[1], dtype=jnp.int32)
+        cscores_probe = jnp.where(col[None, :] < probe_ncells, cscores_probe, NEG)
     probe_scores, cells = jax.lax.top_k(cscores_probe, nprobe)  # (Lq, nprobe)
 
     # PLAID cell pruning (PAPERS.md PLAID; the reference has no staged
@@ -364,7 +374,16 @@ def _search_core(
     # candidate-independent, so ranking only needs the non-negative
     # adjusted contributions (score − impute[q]).
     flat_pids = emb2pid[eids.reshape(-1)]                       # (E,)
-    impute = probe_scores[:, nprobe - 1]                         # (Lq,)
+    if probe_ncells is None:
+        impute = probe_scores[:, nprobe - 1]                     # (Lq,)
+    else:
+        # never impute from a masked pad column: when this shard has fewer
+        # valid cells than nprobe, every real cell is probed and the worst
+        # REAL probe score is the (still admissible) imputation bound
+        imp_col = jnp.minimum(jnp.int32(nprobe), probe_ncells) - 1
+        impute = jnp.take_along_axis(
+            probe_scores, jnp.full((Lq, 1), imp_col, jnp.int32), axis=1
+        )[:, 0]
     q_of = jax.lax.broadcasted_iota(jnp.int32, (Lq, nprobe), 0).reshape(-1)
     entry_adj = entry_score - impute[q_of]                       # ≥ 0
     flat_adj = jnp.broadcast_to(entry_adj[:, None], valid.shape).reshape(-1)
@@ -394,7 +413,14 @@ def _search_core(
     first_pq = changed & real
     first = first_p & real
     n_unique = jnp.sum(first)
-    overflow = jnp.maximum(0, n_unique - max_candidates)
+    # overflow counts candidates beyond the width ACTUALLY selected out of
+    # stage-1 (the refine's 4x window, or ncandidates) — not max_candidates,
+    # which nothing truncates at
+    if stage1_refine and ncandidates < max_candidates:
+        sel_width = min(4 * ncandidates, max_candidates)
+    else:
+        sel_width = ncandidates
+    overflow = jnp.maximum(0, n_unique - sel_width)
 
     # per-pid stage-1 score = segment-sum of per-(pid, q) maxima. Ranking
     # uses the MIDPOINT of the probed bounds: the upper bound imputes every

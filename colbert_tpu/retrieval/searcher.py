@@ -142,10 +142,12 @@ class Searcher:
         )
         # size cell_cap from the PROBING-side cell lengths (the balanced IVF
         # split makes these <= ivf_balance_cap even when storage cells are
-        # huge, so auto mode is exact without mega-cell truncation)
-        probe_lengths = getattr(
-            getattr(self, "device_index", None), "ivf_lengths", None
+        # huge, so auto mode is exact without mega-cell truncation); the
+        # sharded backend's per-shard balanced table is the probing side there
+        probe_index = getattr(self, "device_index", None) or getattr(
+            self, "sharded_index", None
         )
+        probe_lengths = getattr(probe_index, "ivf_lengths", None)
         if probe_lengths is not None and len(probe_lengths):
             max_ivf = int(np.asarray(probe_lengths).max())
         else:

@@ -115,3 +115,61 @@ def test_sharded_balanced_matches_unbalanced(built, rng):
     )
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-4)
+
+
+def test_pad_probe_rows_unselectable():
+    """Probe-table pads (shards padded to a common K' after per-shard
+    balancing) must never win probe slots: a query whose top cell on the
+    less-split shard coincides with whatever centroid fills the pad rows
+    must still reach its OTHER cells with the remaining nprobe slots."""
+    dim, nbits, k = 32, 2, 4
+    eye = np.eye(k, dim, dtype=np.float32)          # centroids e0..e3
+    # shard A (first 32 passages): every token in cell 0 -> mega-cell that
+    # splits into MAX_CELL_DUP sub-cells at cap=8 (K_A = 3 + 4 = 7)
+    # shard B (last 32): codes cycle 0..3, max cell 8 <= cap -> unsplit,
+    # K_B = 4, padded to K'=7 with 3 pad rows
+    codes = np.concatenate([
+        np.zeros(32, np.uint32),
+        (np.arange(32) % k).astype(np.uint32),
+    ])
+    residuals = np.zeros((64, dim // 8 * nbits), np.uint8)
+    doclens = np.ones(64, np.int64)
+    mesh = make_mesh(2, 1)
+    idx = ShardedDeviceIndex.build(
+        mesh,
+        centroids=eye,
+        codes=codes,
+        residuals=residuals,
+        doclens=doclens,
+        bucket_weights=np.zeros(2 ** nbits, np.float32),  # tokens == centroids
+        nbits=nbits,
+        balance_cap=8,
+    )
+    assert idx.probe_cents.shape[1] == 7   # K' from shard A's split
+    assert int(np.asarray(idx.n_cells)[1, 0]) == 4  # shard B valid rows
+
+    # query token: cell 0 strongest, cell 1 second
+    q = (0.9 * eye[0] + 0.45 * eye[1])[None, None, :]  # (B=1, Lq=1, dim)
+    pids, scores = idx.search_Q_batch(
+        jnp.asarray(q), k=48, nprobe=2, ncandidates=64,
+        cell_cap=8, max_candidates=128,
+    )
+    got = set(pids[0][scores[0] > -np.inf].tolist())
+    cell1_docs_shard_b = {32 + i for i in range(32) if i % k == 1}
+    # with pads selectable, shard B's 2nd probe slot was a cell-0 duplicate
+    # and none of its cell-1 docs ever surfaced
+    assert cell1_docs_shard_b <= got, (sorted(got), sorted(cell1_docs_shard_b))
+
+
+def test_overwrite_rank0_only(tmp_path):
+    """overwrite=True on a non-zero rank of a multi-rank build must be
+    rejected (it would clear rank 0's plan/codec mid-build)."""
+    cfg = ColBERTConfig(
+        dim=32, doc_maxlen=64, query_maxlen=16, index_bsize=8,
+        length_bucket=16, chunksize=32, nbits=2, kmeans_niters=2,
+        nranks=2, rank=1,
+    )
+    encoder = make_encoder(dim=32, seed=0, config=cfg)
+    idxr = Indexer(cfg, encoder=encoder, collection=synthetic_collection(40, seed=3))
+    with pytest.raises(ValueError, match="rank 0"):
+        idxr.index(str(tmp_path / "idx"), overwrite=True)
