@@ -23,7 +23,9 @@ from colbert_tpu.ops.maxsim import maxsim_scores
 __all__ = ["score_full_sharded_topk"]
 
 
+@functools.lru_cache(maxsize=32)
 def _scorer(mesh: Mesh, nbits: int, k: int, pid_chunk: int):
+    """Cached per geometry so repeated calls reuse the compiled program."""
     @functools.partial(
         jax.shard_map,
         mesh=mesh,

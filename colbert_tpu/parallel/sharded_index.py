@@ -239,6 +239,16 @@ class ShardedDeviceIndex:
 
 
 def _sharded_search_fn(mesh, **static):
+    """Cached per (mesh, static search geometry): the jitted shard_map search
+    program compiles ONCE per geometry — rebuilding it per call would retrace
+    and recompile the whole sharded pipeline every batch (serving-fatal)."""
+    return _sharded_search_fn_cached(mesh, tuple(sorted(static.items())))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_search_fn_cached(mesh, static_items):
+    static = dict(static_items)
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
