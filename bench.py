@@ -132,8 +132,17 @@ def main() -> None:
     mfu = tput_tok * BERT_BASE_GFLOP_PER_TOKEN / 1e3 / BF16_PEAK_TFLOPS
     log(f"encode: 2048 passages ({int(doclens.sum())} embeddings) in {dt:.2f}s "
         f"= {enc_pps:.1f} passages/s, {tput_tok/1e3:.1f}k tokens/s, "
-        f"~{mfu*100:.1f}% MFU (vs reference 40 p/s: {enc_pps/40:.1f}x; note: "
-        f"fp32 outputs cross a ~30 MB/s tunneled D2H link here)")
+        f"~{mfu*100:.1f}% MFU (vs reference 40 p/s: {enc_pps/40:.1f}x; "
+        f"payload rides the ~30 MB/s tunneled D2H link in "
+        f"{encoder.config.transfer_dtype})")
+
+    try:
+        flash_probe()
+    except Exception:
+        import traceback
+
+        log("flash-attention probe failed:")
+        traceback.print_exc(file=sys.stderr)
 
     tmp = tempfile.mkdtemp()
     try:

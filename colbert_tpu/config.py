@@ -62,6 +62,14 @@ class ColBERTConfig:
     # -- TPU-native settings (no reference equivalent) --
     # dtype used for encoder activations; params are kept fp32 and cast in.
     activation_dtype: str = "bfloat16"
+    # dtype of encode_passages outputs on the device->host wire. The D2H
+    # link is the encode bottleneck (tunneled chip: ~30 MB/s), so fp32
+    # embeddings would dominate the pipeline; bf16 halves the bytes and its
+    # rounding (~1/256 of unit-norm values) sits far below the residual
+    # codec's own bucket granularity. Set "float32" for bit-exact outputs.
+    # (The fused index-build path ships compressed artifacts and never pays
+    # this; query encodes stay fp32 — they are tiny.)
+    transfer_dtype: str = "bfloat16"
     # mesh axis sizes; data axis shards batches/collection, model axis reserved
     # for tensor parallelism of the encoder (dense/attention head sharding).
     mesh_data_axis: int = -1  # -1 => all available devices
@@ -128,6 +136,8 @@ class ColBERTConfig:
             raise ValueError("query_maxlen must be >= 3 ([CLS] [Q] + content)")
         if self.doc_maxlen < 3:
             raise ValueError("doc_maxlen must be >= 3 ([CLS] [D] + content)")
+        if self.transfer_dtype not in ("bfloat16", "float16", "float32"):
+            raise ValueError("transfer_dtype must be bfloat16, float16 or float32")
 
     # -- (de)serialization: plain JSON, field-name keyed --
 

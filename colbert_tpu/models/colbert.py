@@ -75,7 +75,7 @@ def _forward_normalized(
     return emb / jnp.maximum(norm, 1e-12)
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype_name", "use_flash"))
+@partial(jax.jit, static_argnames=("cfg", "dtype_name", "use_flash", "out_dtype_name"))
 def encode_batch(
     params: ColBERTParams,
     input_ids: jax.Array,
@@ -85,8 +85,9 @@ def encode_batch(
     cfg: BertConfig,
     dtype_name: str = "bfloat16",
     use_flash: bool = False,
+    out_dtype_name: str = "float32",
 ) -> jax.Array:
-    """Shared doc/query forward -> normalized fp32 embeddings ``(B, L, dim)``.
+    """Shared doc/query forward -> normalized embeddings ``(B, L, dim)``.
 
     ``keep_mask`` selects which token positions survive: for docs it is
     ``attention_mask & ~skiplist(ids)`` (punctuation/pad removal,
@@ -94,11 +95,16 @@ def encode_batch(
     positions except pads-that-weren't-MASK-augmented (in practice: all).
     Positions outside ``keep_mask`` are zeroed *before* normalization, so
     kept embeddings are unit-norm and dropped ones are exactly zero.
+
+    Normalization always runs in fp32; ``out_dtype_name`` casts the result
+    inside the same program (bf16 halves the bytes a host transfer pays —
+    the bottleneck of ``encode_passages`` on a tunneled chip).
     """
-    return _forward_normalized(
+    emb = _forward_normalized(
         params, input_ids, attention_mask, keep_mask, cfg=cfg, dtype_name=dtype_name,
         use_flash=use_flash,
     )
+    return emb.astype(jnp.dtype(out_dtype_name))
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype_name", "nbits", "use_flash"))

@@ -92,7 +92,9 @@ def _scatter_compact(
     starts = np.concatenate([[0], np.cumsum(counts[:-1])])
     within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
     dest = np.repeat(dest_offsets[idx], counts) + within
-    out[dest] = values[keep]
+    vals = values[keep]
+    # transfers may ride in bf16/fp16 (config.transfer_dtype); upcast here
+    out[dest] = vals if vals.dtype == out.dtype else vals.astype(out.dtype)
 
 
 @dataclass
@@ -229,6 +231,11 @@ class ColBERTEncoder:
         each ``index_bsize`` batch pads to its own bucket, then results are
         scattered back to the original passage order (the reference's
         ``_sort_by_length`` is commented out — utils.jl:1-36; here it's on).
+
+        The device->host payload rides in ``config.transfer_dtype`` (default
+        bf16: D2H bandwidth is the encode bottleneck, and halving the bytes
+        ~doubles throughput on a tunneled chip); the returned array is always
+        fp32 (host-side upcast).
         """
         cfg = self.config
         n = len(passages)
@@ -242,6 +249,7 @@ class ColBERTEncoder:
                 cfg=self.bert_config,
                 dtype_name=cfg.activation_dtype,
                 use_flash=self._flash_for(ids.shape[1]),
+                out_dtype_name=cfg.transfer_dtype,
             ),)
 
         drained, doclens = self._pipeline_batches(passages, dispatch)

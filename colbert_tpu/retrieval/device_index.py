@@ -128,9 +128,21 @@ class DeviceIndex:
         shrinks to the cap while oversized cells stay probeable up to
         ``MAX_CELL_DUP * cap`` entries (truncation beyond that is counted
         and warned). Codec centroids (what codes decompress against) are
-        untouched. None = no splitting."""
-        N = len(codes)
+        untouched. None = no splitting.
+
+        ``codes``/``residuals`` may arrive pre-padded with one zeroed
+        sentinel row (``len == doclens.sum() + 1``, as produced by
+        ``format.load_all_*(extra_rows=1)``): they are then used in place —
+        host RSS stays at ONE copy of the index instead of the concat+append
+        double it used to pay (~2x index size transient at MS MARCO scale)."""
+        doclens = np.asarray(doclens, np.int64)
+        N = int(doclens.sum())
         P = len(doclens)
+        if len(codes) not in (N, N + 1) or len(residuals) != len(codes):
+            raise ValueError(
+                f"codes/residuals rows ({len(codes)}/{len(residuals)}) must be "
+                f"doclens.sum()={N} (+1 if sentinel-padded)"
+            )
         sentinel_eid = N
         sentinel_pid = P
         nbytes = residuals.shape[1]
@@ -158,8 +170,14 @@ class DeviceIndex:
         else:
             probe_centroids = centroids
 
-        codes_p = np.concatenate([codes.astype(np.uint32), np.zeros(1, np.uint32)])
-        res_p = np.concatenate([residuals, np.zeros((1, nbytes), np.uint8)], axis=0)
+        if len(codes) == N + 1:  # pre-padded by the loader; zeroed tail row
+            codes_p = np.ascontiguousarray(codes, dtype=np.uint32)
+            res_p = np.ascontiguousarray(residuals, dtype=np.uint8)
+        else:
+            codes_p = np.zeros(N + 1, np.uint32)
+            codes_p[:N] = codes
+            res_p = np.zeros((N + 1, nbytes), np.uint8)
+            res_p[:N] = residuals
 
         emb2pid = np.repeat(np.arange(P, dtype=np.int32), doclens.astype(np.int64))
         emb2pid = np.concatenate([emb2pid, np.asarray([sentinel_pid], np.int32)])

@@ -66,16 +66,17 @@ class Searcher:
         if self.backend == "device":
             from colbert_tpu.retrieval.device_index import DeviceIndex
 
-            # memory hygiene: chunks are mmap'd and the host concat is
-            # dropped right after the HBM upload — device-mode host RSS is
-            # ~independent of index size (the reference keeps the whole
-            # index in host RAM, loaders.jl:91-113).
+            # memory hygiene: chunks are mmap'd straight into ONE
+            # sentinel-padded host buffer (extra_rows=1) that DeviceIndex
+            # uses in place, and that single copy is dropped right after the
+            # HBM upload — peak host RSS is ~1x the index (the reference
+            # keeps the whole index in host RAM, loaders.jl:91-113).
             bal = self.config.ivf_balance_cap
             balance_cap = 1024 if bal is None else (bal if bal > 0 else None)
             self.device_index = DeviceIndex.build(
                 centroids=np.asarray(self.centroids),
-                codes=fmt.load_all_codes(self.index_path, mmap=True),
-                residuals=fmt.load_all_residuals(self.index_path, mmap=True),
+                codes=fmt.load_all_codes(self.index_path, mmap=True, extra_rows=1),
+                residuals=fmt.load_all_residuals(self.index_path, mmap=True, extra_rows=1),
                 ivf=self.ivf,
                 ivf_lengths=self.ivf_lengths,
                 doclens=np.asarray(self.doclens, np.int64),
@@ -173,6 +174,13 @@ class Searcher:
 
     # ------------------------------------------------------------------
 
+    # every distinct query-batch size B is a new compile of the jitted search
+    # program (all shapes static), so serving pads B up to these bucket sizes
+    # and slices the tail off the results: at most len(buckets) programs per
+    # geometry ever compile, and arbitrary request sizes never retrace.
+    # Batches beyond the largest bucket run in largest-bucket chunks.
+    QUERY_BATCH_BUCKETS = (1, 4, 8, 16, 32, 64, 128)
+
     def search(self, query: str, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         """-> (pids (k,), scores (k,)) for one query (reference searching.jl:93-128)."""
         pids, scores = self.search_batch([query], k)
@@ -182,6 +190,27 @@ class Searcher:
         self, queries: Sequence[str], k: int = 10
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched retrieval -> (pids (B, k), scores (B, k))."""
+        B = len(queries)
+        if self.backend in ("device", "sharded") and B:
+            cap = self.QUERY_BATCH_BUCKETS[-1]
+            if B > cap:  # chunk huge batches by the largest bucket
+                parts = [
+                    self.search_batch(list(queries[i : i + cap]), k)
+                    for i in range(0, B, cap)
+                ]
+                return (np.concatenate([p for p, _ in parts]),
+                        np.concatenate([s for _, s in parts]))
+            padded = next(b for b in self.QUERY_BATCH_BUCKETS if b >= B)
+            if padded != B:
+                pids, scores = self._search_batch_impl(
+                    list(queries) + [""] * (padded - B), k
+                )
+                return pids[:B], scores[:B]
+        return self._search_batch_impl(queries, k)
+
+    def _search_batch_impl(
+        self, queries: Sequence[str], k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
         cfg = self.config
         B = len(queries)
         out_pids = np.full((B, k), -1, np.int64)

@@ -170,26 +170,57 @@ def load_all_doclens(index_path: str) -> np.ndarray:
     return np.concatenate(parts) if parts else np.zeros((0,), np.int32)
 
 
-def load_all_codes(index_path: str, *, mmap: bool = False) -> np.ndarray:
-    """``mmap=True`` reads chunks through the page cache (one materialized
-    copy from the concat instead of two), for device-resident consumers that
-    drop the host array after upload."""
+def _load_all_chunked(
+    index_path: str, name_fmt: str, dtype, *, mmap: bool, extra_rows: int
+) -> np.ndarray | None:
+    """Assemble all chunks of one artifact into ONE preallocated buffer.
+
+    ``np.concatenate`` over chunk arrays would materialize a second full
+    copy when a consumer then appends sentinel rows (host RSS ~2x the index
+    at MS MARCO scale); instead the per-chunk mmaps are copied straight into
+    a single (N + extra_rows) buffer whose tail rows are zeroed — consumers
+    that need sentinel rows pass ``extra_rows`` and get them for free.
+    Returns None when there are no chunks.
+    """
     mode = "r" if mmap else None
     parts = [
-        np.load(os.path.join(index_path, f"{i}.codes.npy"), mmap_mode=mode)
+        np.load(os.path.join(index_path, name_fmt.format(i)), mmap_mode=mode)
         for i in range(_num_chunks(index_path))
     ]
-    return np.concatenate(parts) if parts else np.zeros((0,), np.uint32)
+    if not parts:
+        return None
+    n = sum(p.shape[0] for p in parts)
+    out = np.zeros((n + extra_rows,) + parts[0].shape[1:], dtype)
+    off = 0
+    for p in parts:
+        out[off : off + p.shape[0]] = p
+        off += p.shape[0]
+    return out
 
 
-def load_all_residuals(index_path: str, *, mmap: bool = False) -> np.ndarray:
-    """All packed residuals in one matrix (reference: loaders.jl:91-113)."""
-    mode = "r" if mmap else None
-    parts = [
-        np.load(os.path.join(index_path, f"{i}.residuals.npy"), mmap_mode=mode)
-        for i in range(_num_chunks(index_path))
-    ]
-    return np.concatenate(parts, axis=0)
+def load_all_codes(
+    index_path: str, *, mmap: bool = False, extra_rows: int = 0
+) -> np.ndarray:
+    """All codes in one array. ``mmap=True`` reads chunks through the page
+    cache; ``extra_rows`` appends that many zeroed sentinel rows so
+    device-index builders never re-concatenate (single host copy total)."""
+    out = _load_all_chunked(
+        index_path, "{}.codes.npy", np.uint32, mmap=mmap, extra_rows=extra_rows
+    )
+    return out if out is not None else np.zeros((extra_rows,), np.uint32)
+
+
+def load_all_residuals(
+    index_path: str, *, mmap: bool = False, extra_rows: int = 0
+) -> np.ndarray:
+    """All packed residuals in one matrix (reference: loaders.jl:91-113);
+    see :func:`load_all_codes` for ``mmap``/``extra_rows``."""
+    out = _load_all_chunked(
+        index_path, "{}.residuals.npy", np.uint8, mmap=mmap, extra_rows=extra_rows
+    )
+    if out is None:
+        raise FileNotFoundError(f"no residual chunks in {index_path}")
+    return out
 
 
 def check_all_files_saved(index_path: str) -> list[str]:

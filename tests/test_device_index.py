@@ -43,6 +43,27 @@ def test_device_search_single(built):
     assert (np.diff(scores[scores > -np.inf]) <= 1e-6).all()
 
 
+def test_query_batch_bucketing(built):
+    """Odd batch sizes pad to the next bucket (serving never retraces) and
+    the padded rows must not perturb real queries' results."""
+    cfg, encoder, passages, path = built
+    s = Searcher(path, encoder=encoder)
+    queries = [passages[5], passages[33], "the dog runs fast", passages[59],
+               passages[12]]
+    p5, s5 = s.search_batch(queries, k=5)           # B=5 -> bucket 8
+    assert p5.shape == (5, 5)
+    p8, s8 = s._search_batch_impl(queries + [""] * 3, k=5)
+    np.testing.assert_array_equal(p5, p8[:5])
+    np.testing.assert_allclose(s5, s8[:5])
+    # chunking: B > largest bucket still returns B rows, chunk-equal
+    big = (queries * 27)[:130]
+    cap = Searcher.QUERY_BATCH_BUCKETS[-1]
+    pb, sb = s.search_batch(big, k=3)
+    assert pb.shape == (130, 3)
+    ph, _ = s.search_batch(big[:cap], k=3)
+    np.testing.assert_array_equal(pb[:cap], ph)
+
+
 def test_device_backend_k_larger_than_candidates(built):
     cfg, encoder, passages, path = built
     s = Searcher(path, encoder=encoder)

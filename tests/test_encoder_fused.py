@@ -30,8 +30,29 @@ def test_encode_to_device_matches_host_path():
     np.testing.assert_allclose(np.asarray(flat_dev)[~valid], 0.0)
 
 
+def test_transfer_dtype_bf16_default_close_to_fp32():
+    """Default D2H payload is bf16 (the tunneled-link bottleneck); outputs
+    stay fp32 and must match the fp32-wire values to bf16 rounding."""
+    enc = make_encoder(dim=32, seed=0)
+    passages = synthetic_collection(9, seed=5)
+    assert enc.config.transfer_dtype == "bfloat16"
+    flat_bf16, dl_a = enc.encode_passages(passages)
+    assert flat_bf16.dtype == np.float32
+    enc.config.transfer_dtype = "float32"
+    flat_fp32, dl_b = enc.encode_passages(passages)
+    np.testing.assert_array_equal(dl_a, dl_b)
+    # unit-norm embeddings: bf16 has 8 mantissa bits -> |err| <= 2^-8
+    assert np.abs(flat_bf16 - flat_fp32).max() <= 1 / 256
+    # and the bf16-wire values are exactly the fp32 ones rounded to bf16
+    want = np.asarray(jnp.asarray(flat_fp32, jnp.bfloat16), np.float32)
+    np.testing.assert_array_equal(flat_bf16, want)
+
+
 def test_encode_compressed_matches_stepwise():
     enc = make_encoder(dim=32, seed=0)
+    # the stepwise oracle compresses host-side embeddings; keep the wire
+    # fp32 so codes can't flip at bucket/argmax boundaries vs the fused path
+    enc.config.transfer_dtype = "float32"
     passages = synthetic_collection(11, seed=4)
     rng = np.random.default_rng(0)
     k = 16

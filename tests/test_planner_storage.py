@@ -112,3 +112,12 @@ def test_load_all_concatenation(tmp_path, rng):
     np.testing.assert_array_equal(fmt.load_all_codes(p), np.concatenate(all_codes))
     np.testing.assert_array_equal(fmt.load_all_doclens(p), np.concatenate(all_doclens))
     assert fmt.load_all_residuals(p).shape == (sum(len(c) for c in all_codes), 4)
+    # sentinel pre-padding: one zeroed extra row, single materialized buffer
+    n = sum(len(c) for c in all_codes)
+    padded = fmt.load_all_codes(p, mmap=True, extra_rows=1)
+    assert padded.shape == (n + 1,) and padded[-1] == 0
+    np.testing.assert_array_equal(padded[:n], np.concatenate(all_codes))
+    assert padded.flags.writeable and padded.flags.owndata
+    res_padded = fmt.load_all_residuals(p, mmap=True, extra_rows=1)
+    assert res_padded.shape == (n + 1, 4)
+    np.testing.assert_array_equal(res_padded[-1], 0)
