@@ -28,7 +28,11 @@ import numpy as np
 
 from colbert_tpu.config import ColBERTConfig
 from colbert_tpu.indexing.codec_trainer import train_codec
-from colbert_tpu.indexing.planner import sample_pids, setup_plan
+from colbert_tpu.indexing.planner import (
+    heldout_split_indices,
+    sample_pids,
+    setup_plan,
+)
 from colbert_tpu.models.encoder import ColBERTEncoder
 from colbert_tpu.ops import codec as codec_ops
 from colbert_tpu.storage import format as fmt
@@ -239,12 +243,12 @@ def _build(
         )
     avg_doclen_est = float(sample_doclens.mean()) if len(sample_doclens) else 0.0
 
-    # heldout split over *valid* rows (collection_indexer.jl:81-91 semantics)
+    # heldout split over *valid* rows (collection_indexer.jl:81-91 semantics;
+    # index-only split — the padded sample stays device-resident)
     valid_idx = np.nonzero(sample_valid)[0]
-    perm = rng.permutation(len(valid_idx))
-    num_heldout = int(min(50_000, max(1, round(0.05 * len(valid_idx)))))
-    heldout_idx = valid_idx[perm[:num_heldout]]
-    train_idx = valid_idx[perm[num_heldout:]]
+    train_pos, heldout_pos = heldout_split_indices(len(valid_idx), rng)
+    heldout_idx = valid_idx[heldout_pos]
+    train_idx = valid_idx[train_pos]
     heldout = sample_embs[jnp.asarray(heldout_idx)]
     train_weights = np.zeros(len(sample_valid), np.float32)
     train_weights[train_idx] = 1.0

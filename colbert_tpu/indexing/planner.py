@@ -18,7 +18,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["sample_pids", "heldout_split", "setup_plan"]
+__all__ = ["sample_pids", "heldout_split", "heldout_split_indices", "setup_plan"]
 
 
 def sample_pids(num_documents: int, rng: np.random.Generator) -> np.ndarray:
@@ -30,14 +30,24 @@ def sample_pids(num_documents: int, rng: np.random.Generator) -> np.ndarray:
     return np.sort(pids)
 
 
+def heldout_split_indices(
+    n: int, rng: np.random.Generator, *, heldout_fraction: float = 0.05
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Shuffled (train_idx, heldout_idx) positions with min(50k, fraction)
+    held out (reference: collection_indexer.jl:81-91). Index-only variant so
+    the builder can split a device-resident sample without gathering rows."""
+    perm = rng.permutation(n)
+    num_heldout = int(min(50_000, max(1, round(heldout_fraction * n))))
+    return perm[num_heldout:], perm[:num_heldout]
+
+
 def heldout_split(
     sample: np.ndarray, rng: np.random.Generator, *, heldout_fraction: float = 0.05
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Shuffle embeddings rows and split off min(50k, fraction) as heldout."""
-    n = sample.shape[0]
-    perm = rng.permutation(n)
-    num_heldout = int(min(50_000, max(1, round(heldout_fraction * n))))
-    heldout_idx, train_idx = perm[:num_heldout], perm[num_heldout:]
+    train_idx, heldout_idx = heldout_split_indices(
+        sample.shape[0], rng, heldout_fraction=heldout_fraction
+    )
     return sample[train_idx], sample[heldout_idx]
 
 

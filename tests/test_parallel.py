@@ -11,7 +11,7 @@ import pytest
 from colbert_tpu.ops import codec as codec_ops
 from colbert_tpu.ops import kmeans as kmeans_ops
 from colbert_tpu.parallel.mesh import make_mesh
-from colbert_tpu.parallel import encode_dist, kmeans_dist, search_dist
+from colbert_tpu.parallel import kmeans_dist, search_dist
 from colbert_tpu.retrieval import ranking
 
 
@@ -51,21 +51,27 @@ def test_kmeans_sharded_full_fit(rng, mesh):
 
 
 def test_encode_dp_matches_single(rng, mesh):
+    """The production DP encode (ColBERTEncoder.attach_mesh + _put_batch,
+    what Indexer wires up) must equal the single-device forward exactly."""
     from colbert_tpu.models.bert import BertConfig
     from colbert_tpu.models.colbert import encode_batch, init_colbert_params
+    from colbert_tpu.utils.testing import make_encoder
 
-    cfg = BertConfig.tiny()
-    params = init_colbert_params(jax.random.PRNGKey(0), cfg, dim=16)
+    enc = make_encoder(dim=16, seed=0, bert_config=BertConfig.tiny())
+    enc.config.activation_dtype = "float32"
+    enc.attach_mesh(mesh)
+    cfg = enc.bert_config
     ids = rng.integers(0, cfg.vocab_size, size=(11, 12)).astype(np.int32)  # 11 % 8 != 0
     mask = np.ones((11, 12), bool)
     keep = mask.copy()
     keep[:, 0] = False
-    params_sh = encode_dist.shard_params(params, mesh)
-    out_dp = encode_dist.encode_batch_dp(
-        params_sh, ids, mask, keep, mesh, cfg=cfg, dtype_name="float32"
-    )
+    ids_d, mask_d, keep_d = enc._put_batch(ids, mask, keep)
+    assert ids_d.shape[0] == 16  # padded to the 8-device data axis
+    out_dp = np.asarray(encode_batch(
+        enc.params, ids_d, mask_d, keep_d, cfg=cfg, dtype_name="float32",
+    ))[:11]
     out_1 = np.asarray(encode_batch(
-        params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(keep),
+        enc.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(keep),
         cfg=cfg, dtype_name="float32",
     ))
     np.testing.assert_allclose(out_dp, out_1, rtol=1e-4, atol=1e-5)
