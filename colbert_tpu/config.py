@@ -96,9 +96,16 @@ class ColBERTConfig:
     centroid_score_threshold: float | None = 0.45
     # candidates that survive stage-1 (centroid-only scoring) into the full
     # decompress+MaxSim stage-2. None = max(16*k, 1024), PLAID's operating
-    # point; stage-2 is the gather-bandwidth-bound stage, so this is the
+    # point; stage-2 is the gather-bandwidth-bound stage, so this is THE
     # latency/recall dial. Ignored when use_plaid_pruning is off (everything
     # is fully scored).
+    # Measured (bench.py funnel-recall stage, 4096-passage tie-heavy
+    # synthetic corpus — an adversarial case for centroid-level pruning,
+    # since near-tied passages are interchangeable at stage-1 granularity):
+    # score-recall@10 vs exhaustive is ~0.95 at ncandidates=2048, ~0.92 at
+    # 1600 (the k=100 default), ~0.78 at 512, ~0.35 at 128. Regimes below
+    # ~1024 trade visible recall for stage-2 time; trained checkpoints
+    # (structured embedding space) sit well above these floors.
     plaid_stage2_docs: int | None = None
     # hybrid stage-1: rank all candidates with the cheap gather-free probed
     # bound, then re-rank a 4x-wide cut with the full centroid interaction
