@@ -184,6 +184,16 @@ def main() -> None:
         f"~{mfu*100:.1f}% MFU (vs reference 40 p/s: {enc_pps/40:.1f}x; "
         f"payload rides the ~30 MB/s tunneled D2H link in "
         f"{encoder.config.transfer_dtype})")
+    # opt-in int8 wire: halves bf16's bytes again (the transfer still bounds
+    # encode on this link); quantization error ~ bf16's own rounding
+    encoder.config.transfer_dtype = "int8"
+    encoder.encode_passages(warm)  # compile the int8-out program
+    t0 = time.time()
+    encoder.encode_passages(passages[:2048])
+    dt8 = time.time() - t0
+    log(f"encode with int8 wire (opt-in transfer_dtype): "
+        f"{2048/dt8:.1f} passages/s ({2048/dt8/enc_pps:.2f}x bf16 wire)")
+    encoder.config.transfer_dtype = "bfloat16"
 
     try:
         flash_probe()

@@ -68,7 +68,10 @@ class ColBERTConfig:
     # rounding (~1/256 of unit-norm values) sits far below the residual
     # codec's own bucket granularity. Set "float32" for bit-exact outputs.
     # (The fused index-build path ships compressed artifacts and never pays
-    # this; query encodes stay fp32 — they are tiny.)
+    # this; query encodes stay fp32 — they are tiny.) "int8" quantizes the
+    # unit-norm embeddings to round(x*127) on device and dequantizes on the
+    # host: same error order as bf16 (step 1/127 vs bf16's ~1/256 relative)
+    # at half bf16's bytes again.
     transfer_dtype: str = "bfloat16"
     # mesh axis sizes; data axis shards batches/collection, model axis reserved
     # for tensor parallelism of the encoder (dense/attention head sharding).
@@ -143,8 +146,10 @@ class ColBERTConfig:
             raise ValueError("query_maxlen must be >= 3 ([CLS] [Q] + content)")
         if self.doc_maxlen < 3:
             raise ValueError("doc_maxlen must be >= 3 ([CLS] [D] + content)")
-        if self.transfer_dtype not in ("bfloat16", "float16", "float32"):
-            raise ValueError("transfer_dtype must be bfloat16, float16 or float32")
+        if self.transfer_dtype not in ("bfloat16", "float16", "float32", "int8"):
+            raise ValueError(
+                "transfer_dtype must be bfloat16, float16, float32 or int8"
+            )
 
     # -- (de)serialization: plain JSON, field-name keyed --
 

@@ -96,14 +96,20 @@ def encode_batch(
     Positions outside ``keep_mask`` are zeroed *before* normalization, so
     kept embeddings are unit-norm and dropped ones are exactly zero.
 
-    Normalization always runs in fp32; ``out_dtype_name`` casts the result
-    inside the same program (bf16 halves the bytes a host transfer pays —
-    the bottleneck of ``encode_passages`` on a tunneled chip).
+    Normalization always runs in fp32; ``out_dtype_name`` converts the
+    result inside the same program (the D2H transfer is the bottleneck of
+    ``encode_passages`` on a tunneled chip): float dtypes are a plain cast,
+    ``"int8"`` emits ``round(x * 127)`` — embeddings are unit-norm so every
+    component is in [-1, 1] and the quantization step (1/127) sits at bf16's
+    own rounding level while halving bf16's bytes again. Hosts dequantize
+    with ``x / 127``.
     """
     emb = _forward_normalized(
         params, input_ids, attention_mask, keep_mask, cfg=cfg, dtype_name=dtype_name,
         use_flash=use_flash,
     )
+    if out_dtype_name == "int8":
+        return jnp.clip(jnp.round(emb * 127.0), -127, 127).astype(jnp.int8)
     return emb.astype(jnp.dtype(out_dtype_name))
 
 

@@ -203,7 +203,13 @@ class ColBERTEncoder:
 
         def drain(item):
             idx, keep, outs = item
-            return (idx, keep, *(np.asarray(o)[: len(idx)] for o in outs))
+            host = []
+            for o in outs:
+                h = np.asarray(o)[: len(idx)]
+                if h.dtype == np.int8:  # int8 wire: dequantize (see encode_batch)
+                    h = h.astype(np.float32) / 127.0
+                host.append(h)
+            return (idx, keep, *host)
 
         drained, pending = [], []
         for idx, ids, mask, keep in self._doc_batches(passages):

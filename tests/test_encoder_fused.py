@@ -48,6 +48,23 @@ def test_transfer_dtype_bf16_default_close_to_fp32():
     np.testing.assert_array_equal(flat_bf16, want)
 
 
+def test_transfer_dtype_int8_quantized_wire():
+    """int8 wire: device quantizes round(x*127), host dequantizes /127 —
+    error bounded by half a quantization step per component."""
+    enc = make_encoder(dim=32, seed=0)
+    passages = synthetic_collection(9, seed=5)
+    enc.config.transfer_dtype = "float32"
+    flat_fp32, dl_a = enc.encode_passages(passages)
+    enc.config.transfer_dtype = "int8"
+    flat_i8, dl_b = enc.encode_passages(passages)
+    np.testing.assert_array_equal(dl_a, dl_b)
+    assert flat_i8.dtype == np.float32
+    assert np.abs(flat_i8 - flat_fp32).max() <= 0.5 / 127 + 1e-6
+    # dequantized values land exactly on the int8 grid
+    grid = np.round(flat_i8 * 127)
+    np.testing.assert_allclose(flat_i8 * 127, grid, atol=1e-4)
+
+
 def test_encode_compressed_matches_stepwise():
     enc = make_encoder(dim=32, seed=0)
     # the stepwise oracle compresses host-side embeddings; keep the wire
