@@ -7,7 +7,9 @@ MaxSim retrieval — redesigned TPU-first (static shapes, fused jitted kernels,
 mesh-sharded build and search).
 
 Public API mirrors the reference's six exports (reference: src/ColBERT.jl:21-40):
-``ColBERTConfig``, ``Indexer``, ``index``, ``Searcher``, ``search``.
+``ColBERTConfig``, ``Indexer``, ``index``, ``Searcher``, ``search`` — plus
+``IndexUpdater`` (incremental add/remove; on the reference's roadmap,
+README.md:179-190, but unimplemented there).
 """
 
 from colbert_tpu.config import ColBERTConfig
@@ -23,6 +25,7 @@ __all__ = [
     "index",
     "Searcher",
     "search",
+    "IndexUpdater",
     "__version__",
 ]
 
@@ -32,6 +35,10 @@ def __getattr__(name):  # lazy: keep `import colbert_tpu` light for ops-only use
         from colbert_tpu.indexing.builder import Indexer, index
 
         return {"Indexer": Indexer, "index": index}[name]
+    if name == "IndexUpdater":
+        from colbert_tpu.indexing.updater import IndexUpdater
+
+        return IndexUpdater
     if name in ("Searcher", "search"):
         from colbert_tpu.retrieval.searcher import Searcher, search
 

@@ -1,0 +1,163 @@
+"""Incremental index updates: add / remove passages without a rebuild.
+
+The reference has no index-update support — its README roadmap lists
+"index updation" as future work (reference: README.md:179-190 "Stay Tuned");
+the Python ColBERT's ``IndexUpdater`` is the de-facto contract this module
+reproduces, TPU-style:
+
+  - :meth:`IndexUpdater.add` encodes + compresses new passages against the
+    EXISTING codec (centroids/cutoffs frozen, exactly like the Python
+    updater — retraining the codec would invalidate every stored residual),
+    appends them as a new self-contained chunk, and rebuilds the IVF. New
+    passages get pids following the current collection; existing pids and
+    their compressed embeddings are untouched.
+  - :meth:`IndexUpdater.remove` tombstones pids in ``deleted.npy`` and
+    rebuilds the IVF *excluding* their embeddings, so no backend ever
+    surfaces them as candidates. Their rows stay on disk (O(changed-cells)
+    metadata work, no chunk rewrites) until a full rebuild compacts them.
+
+The IVF rebuild is one ``argsort`` over all codes — seconds even at
+MS MARCO scale — and is the only global artifact that changes. Open
+searchers keep serving their loaded snapshot; construct a new
+:class:`~colbert_tpu.retrieval.searcher.Searcher` to see updates.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from colbert_tpu.config import ColBERTConfig
+from colbert_tpu.models.encoder import ColBERTEncoder
+from colbert_tpu.storage import format as fmt
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["IndexUpdater"]
+
+
+def build_ivf_excluding(
+    codes: np.ndarray, num_partitions: int, deleted_eids: np.ndarray | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """IVF over ``codes`` with ``deleted_eids`` rows excluded from every
+    cell. Masked rows are assigned a virtual overflow cell past the last
+    partition: they sort to the tail of the eid array and the per-cell
+    lengths never count them, so no probe can reach them."""
+    codes = np.asarray(codes, np.int64)
+    if deleted_eids is not None and len(deleted_eids):
+        codes = codes.copy()
+        codes[deleted_eids] = num_partitions
+    ivf = np.argsort(codes, kind="stable").astype(np.int32)
+    lengths = np.bincount(codes, minlength=num_partitions + 1)[:num_partitions]
+    return ivf, lengths.astype(np.int32)
+
+
+def deleted_eids_from_pids(
+    deleted_pids: np.ndarray, doclens: np.ndarray
+) -> np.ndarray:
+    """Tombstoned pids -> their embedding row ids (contiguous per pid)."""
+    doclens = np.asarray(doclens, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(doclens)])
+    return np.concatenate(
+        [np.arange(offsets[p], offsets[p + 1]) for p in np.asarray(deleted_pids)]
+        or [np.zeros(0, np.int64)]
+    ).astype(np.int64)
+
+
+@dataclass
+class IndexUpdater:
+    """Add/remove passages on an existing on-disk index."""
+
+    index_path: str
+    encoder: ColBERTEncoder
+
+    def __post_init__(self) -> None:
+        missing = fmt.check_all_files_saved(self.index_path)
+        if missing:
+            raise FileNotFoundError(
+                f"incomplete index at {self.index_path}: {missing}"
+            )
+        self.config = ColBERTConfig.load(
+            os.path.join(self.index_path, "config.json")
+        )
+
+    # ------------------------------------------------------------------
+
+    def add(self, passages: Sequence[str]) -> np.ndarray:
+        """Append ``passages`` as a new chunk -> their assigned pids.
+
+        Compression uses the index's saved codec; the IVF is rebuilt over
+        all (non-deleted) embeddings so the new passages are immediately
+        probeable by a fresh Searcher.
+        """
+        if not len(passages):
+            return np.zeros((0,), np.int64)
+        plan = fmt.load_plan(self.index_path)
+        codec = fmt.load_codec(self.index_path)
+        centroids = jnp.asarray(codec["centroids"])
+        cutoffs = jnp.asarray(codec["bucket_cutoffs"])
+
+        chunk_idx = int(plan["num_chunks"])
+        passage_offset = int(plan["num_documents"])
+        codes, residuals, doclens = self.encoder.encode_passages_compressed(
+            list(passages), centroids, cutoffs, nbits=self.config.nbits
+        )
+        fmt.save_chunk(
+            self.index_path, chunk_idx,
+            codes=codes, residuals=residuals, doclens=doclens,
+            passage_offset=passage_offset,
+        )
+        plan["num_chunks"] = chunk_idx + 1
+        plan["num_documents"] = passage_offset + len(passages)
+        offsets = plan.get("embedding_offsets") or []
+        plan["embedding_offsets"] = offsets + [int(plan.get("num_embeddings", 0))]
+        plan["num_embeddings"] = int(
+            plan.get("num_embeddings", 0) + codes.shape[0]
+        )
+        fmt.save_plan(self.index_path, plan)
+        self._rebuild_ivf(plan)
+        new_pids = np.arange(
+            passage_offset, passage_offset + len(passages), dtype=np.int64
+        )
+        logger.info(
+            "added %d passages (%d embeddings) as chunk %d; pids %d..%d",
+            len(passages), codes.shape[0], chunk_idx, new_pids[0], new_pids[-1],
+        )
+        return new_pids
+
+    def remove(self, pids: Sequence[int]) -> None:
+        """Tombstone ``pids`` and rebuild the IVF without their embeddings.
+
+        Idempotent; unknown pids raise. Rows stay on disk until a full
+        rebuild compacts them (searchers simply never surface the pids).
+        """
+        pids = np.unique(np.asarray(list(pids), np.int64))
+        if not len(pids):
+            return
+        plan = fmt.load_plan(self.index_path)
+        n_docs = int(plan["num_documents"])
+        if pids.min() < 0 or pids.max() >= n_docs:
+            raise ValueError(
+                f"pids out of range [0, {n_docs}): {pids[(pids < 0) | (pids >= n_docs)]}"
+            )
+        merged = np.union1d(fmt.load_deleted(self.index_path), pids)
+        fmt.save_deleted(self.index_path, merged)
+        self._rebuild_ivf(plan)
+        logger.info("removed %d pids (%d tombstoned total)", len(pids), len(merged))
+
+    # ------------------------------------------------------------------
+
+    def _rebuild_ivf(self, plan: dict) -> None:
+        codes = fmt.load_all_codes(self.index_path, mmap=True)
+        doclens = fmt.load_all_doclens(self.index_path)
+        deleted = fmt.load_deleted(self.index_path)
+        eids = deleted_eids_from_pids(deleted, doclens) if len(deleted) else None
+        ivf, lengths = build_ivf_excluding(
+            codes, int(plan["num_partitions"]), eids
+        )
+        fmt.save_ivf(self.index_path, ivf, lengths)

@@ -74,11 +74,14 @@ class ShardedDeviceIndex:
         bucket_weights: np.ndarray,
         nbits: int,
         balance_cap: int | None = None,
+        deleted_pids: np.ndarray | None = None,
     ) -> "ShardedDeviceIndex":
         """Partition passages contiguously into ``mesh.shape['data']`` shards
         and build each shard's local IVF from its codes slice.
         ``balance_cap`` splits oversized local cells per shard (see
-        :func:`colbert_tpu.retrieval.device_index.balance_cells`)."""
+        :func:`colbert_tpu.retrieval.device_index.balance_cells`).
+        ``deleted_pids`` (IndexUpdater tombstones) are excluded from every
+        shard's local IVF, so their embeddings can never become candidates."""
         ndev = mesh.shape["data"]
         P_total = len(doclens)
         k = centroids.shape[0]
@@ -94,6 +97,10 @@ class ShardedDeviceIndex:
         bounds.append(P_total)
         pid_base = np.asarray(bounds[:-1], np.int64)
 
+        deleted_pids = (
+            np.asarray(deleted_pids, np.int64)
+            if deleted_pids is not None else np.zeros((0,), np.int64)
+        )
         shards = []
         Ps_max, Ns_max = 1, 1
         for s in range(ndev):
@@ -102,8 +109,17 @@ class ShardedDeviceIndex:
             dl = doclens[p0:p1].astype(np.int32)
             local_codes = codes[e0:e1].astype(np.uint32)
             local_res = residuals[e0:e1]
-            ivf_local = np.argsort(local_codes, kind="stable").astype(np.int32)
-            ivf_len = np.bincount(local_codes.astype(np.int64), minlength=k).astype(np.int32)
+            # exclude tombstoned pids from the local IVF: their rows sort
+            # into a virtual overflow cell past the last partition that no
+            # probe-table row addresses (same scheme as
+            # updater.build_ivf_excluding)
+            ivf_codes = local_codes.astype(np.int64)
+            local_del = deleted_pids[(deleted_pids >= p0) & (deleted_pids < p1)]
+            for p in local_del:
+                a = emb_offsets_global[p] - e0
+                ivf_codes[a : a + doclens[p]] = k
+            ivf_local = np.argsort(ivf_codes, kind="stable").astype(np.int32)
+            ivf_len = np.bincount(ivf_codes, minlength=k + 1)[:k].astype(np.int32)
             shards.append((dl, local_codes, local_res, ivf_local, ivf_len))
             Ps_max = max(Ps_max, len(dl))
             Ns_max = max(Ns_max, len(local_codes))

@@ -62,6 +62,10 @@ class Searcher:
         self.plan = fmt.load_plan(self.index_path)
         self.ivf, self.ivf_lengths = fmt.load_ivf(self.index_path)
         self.doclens = fmt.load_all_doclens(self.index_path)
+        # IndexUpdater tombstones: the on-disk IVF already excludes them
+        # (updater._rebuild_ivf), which covers the device and host backends;
+        # the sharded backend builds per-shard IVFs itself and gets the list
+        self.deleted_pids = fmt.load_deleted(self.index_path)
 
         if self.backend == "device":
             from colbert_tpu.retrieval.device_index import DeviceIndex
@@ -105,6 +109,7 @@ class Searcher:
                 bucket_weights=np.asarray(self.bucket_weights),
                 nbits=self.config.nbits,
                 balance_cap=balance_cap,
+                deleted_pids=self.deleted_pids,
             )
             self.codes = self.residuals = None
             self.emb2pid = self.emb_offsets = None

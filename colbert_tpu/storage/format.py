@@ -38,6 +38,8 @@ __all__ = [
     "load_all_doclens",
     "load_all_codes",
     "load_all_residuals",
+    "save_deleted",
+    "load_deleted",
     "check_all_files_saved",
     "chunk_file_names",
 ]
@@ -221,6 +223,22 @@ def load_all_residuals(
     if out is None:
         raise FileNotFoundError(f"no residual chunks in {index_path}")
     return out
+
+
+def save_deleted(index_path: str, pids: np.ndarray) -> None:
+    """Persist the tombstoned-pid overlay (sorted unique int64). An
+    incremental-update artifact with no reference equivalent (the reference
+    lists index updates as future work, README.md:179-190)."""
+    np.save(
+        os.path.join(index_path, "deleted.npy"),
+        np.unique(np.asarray(pids, np.int64)),
+    )
+
+
+def load_deleted(index_path: str) -> np.ndarray:
+    """Tombstoned pids; empty when the overlay doesn't exist."""
+    p = os.path.join(index_path, "deleted.npy")
+    return np.load(p) if os.path.exists(p) else np.zeros((0,), np.int64)
 
 
 def check_all_files_saved(index_path: str) -> list[str]:

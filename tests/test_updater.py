@@ -1,0 +1,119 @@
+"""IndexUpdater: incremental add/remove must behave like a (codec-frozen)
+rebuild — added passages retrievable, removed pids never surfaced, untouched
+pids unchanged — across all three searcher backends.
+
+No reference equivalent (index updates are on the reference's roadmap,
+README.md:179-190); contract mirrors the Python ColBERT IndexUpdater.
+"""
+
+import numpy as np
+import pytest
+
+from colbert_tpu.config import ColBERTConfig
+from colbert_tpu.indexing.builder import Indexer
+from colbert_tpu.indexing.updater import (
+    IndexUpdater,
+    build_ivf_excluding,
+    deleted_eids_from_pids,
+)
+from colbert_tpu.retrieval.searcher import Searcher
+from colbert_tpu.storage import format as fmt
+from colbert_tpu.utils.testing import make_encoder, synthetic_collection
+
+
+@pytest.fixture()
+def built(tmp_path):
+    cfg = ColBERTConfig(
+        dim=32, doc_maxlen=64, query_maxlen=16, index_bsize=8, length_bucket=16,
+        chunksize=24, nbits=2, kmeans_niters=5, nprobe=4,
+    )
+    encoder = make_encoder(dim=32, seed=0, config=cfg)
+    passages = synthetic_collection(48, seed=2)
+    path = str(tmp_path / "idx")
+    Indexer(cfg, encoder=encoder, collection=passages).index(path)
+    return cfg, encoder, passages, path
+
+
+def test_ivf_excluding_unit(rng):
+    codes = rng.integers(0, 8, 40).astype(np.uint32)
+    doclens = np.full(10, 4, np.int64)
+    eids = deleted_eids_from_pids(np.asarray([2, 7]), doclens)
+    np.testing.assert_array_equal(eids, np.r_[8:12, 28:32])
+    ivf, lengths = build_ivf_excluding(codes, 8, eids)
+    assert lengths.sum() == 32  # 8 rows excluded
+    kept = ivf[: lengths.sum()]
+    assert not np.isin(kept, eids).any()
+    # grouped by cell in order
+    cells = codes[kept]
+    offs = np.concatenate([[0], np.cumsum(lengths)])
+    for c in range(8):
+        assert (cells[offs[c]:offs[c + 1]] == c).all()
+
+
+def test_add_passages_searchable(built):
+    cfg, encoder, passages, path = built
+    extra = synthetic_collection(7, seed=9)
+    new_pids = IndexUpdater(path, encoder).add(extra)
+    np.testing.assert_array_equal(new_pids, np.arange(48, 55))
+
+    plan = fmt.load_plan(path)
+    assert plan["num_documents"] == 55
+    assert fmt.check_all_files_saved(path) == []
+
+    s = Searcher(path, encoder=encoder)
+    # each added passage is its own best match
+    pids, _ = s.search_batch(extra, k=3)
+    np.testing.assert_array_equal(pids[:, 0], new_pids)
+    # original passages still retrieve themselves
+    pids_old, _ = s.search_batch([passages[3], passages[40]], k=3)
+    assert pids_old[0][0] == 3 and pids_old[1][0] == 40
+
+
+def test_add_does_not_perturb_existing_scores(built):
+    cfg, encoder, passages, path = built
+    s_before = Searcher(path, encoder=encoder)
+    q = [passages[5], passages[20]]
+    p0, s0 = s_before.search_batch(q, k=5)
+    IndexUpdater(path, encoder).add(["completely different words entirely"])
+    s_after = Searcher(path, encoder=encoder)
+    p1, s1 = s_after.search_batch(q, k=5)
+    # codec frozen + append-only pids: existing pids keep their exact scores
+    np.testing.assert_array_equal(p0, p1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("backend", ["device", "host", "sharded"])
+def test_remove_pids_never_surfaced(built, backend):
+    cfg, encoder, passages, path = built
+    victims = [5, 17, 40]
+    IndexUpdater(path, encoder).remove(victims)
+    s = Searcher(path, encoder=encoder, backend=backend)
+    # search FOR the removed passages: they must not come back
+    pids, _ = s.search_batch([passages[v] for v in victims], k=10)
+    assert not np.isin(pids, victims).any()
+    # unrelated passages still self-retrieve
+    pids_ok, _ = s.search_batch([passages[2], passages[30]], k=3)
+    assert pids_ok[0][0] == 2 and pids_ok[1][0] == 30
+
+
+def test_remove_validates_and_merges(built):
+    cfg, encoder, passages, path = built
+    up = IndexUpdater(path, encoder)
+    with pytest.raises(ValueError):
+        up.remove([999])
+    up.remove([1])
+    up.remove([2, 1])  # idempotent merge
+    np.testing.assert_array_equal(fmt.load_deleted(path), [1, 2])
+
+
+def test_add_then_remove_roundtrip(built):
+    cfg, encoder, passages, path = built
+    up = IndexUpdater(path, encoder)
+    extra = synthetic_collection(5, seed=11)
+    new_pids = up.add(extra)
+    up.remove(new_pids[:2])
+    s = Searcher(path, encoder=encoder)
+    pids, _ = s.search_batch(extra, k=3)
+    # removed adds are gone, surviving adds still self-retrieve
+    assert not np.isin(pids, new_pids[:2]).any()
+    np.testing.assert_array_equal(pids[2:, 0], new_pids[2:])
