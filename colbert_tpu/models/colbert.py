@@ -71,8 +71,12 @@ def _forward_normalized(
     if "bias" in lin:
         emb = emb + lin["bias"]
     emb = emb * keep_mask[..., None]
-    norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
-    return emb / jnp.maximum(norm, 1e-12)
+    # clamp INSIDE the sqrt: masked positions are exactly zero, and
+    # sqrt'(0)=inf would turn their (otherwise unused) cotangents into NaN
+    # grads under jax.grad (training); max(norm, eps) outside would not
+    # stop the 0*inf. Forward-identical for nonzero rows.
+    sq = jnp.sum(emb * emb, axis=-1, keepdims=True)
+    return emb / jnp.sqrt(jnp.maximum(sq, 1e-24))
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype_name", "use_flash", "out_dtype_name"))
