@@ -141,19 +141,22 @@ class ColBERTEncoder:
         self._data_sharding = None
 
     def attach_mesh(self, mesh) -> None:
-        """Enable data-parallel encoding over ``mesh``: params are replicated
-        once, every batch is padded to the data-axis size and placed sharded
-        on its leading dim, and XLA runs the (embarrassingly parallel)
-        forward with no collectives. SURVEY §2's DP-encode replacement,
-        reachable from the public ``Indexer``/``Searcher`` facades."""
+        """Enable mesh-parallel encoding: batches shard over the ``data``
+        axis (padded to its size, leading-dim sharded), and with a ``model``
+        axis > 1 the BERT blocks shard Megatron-style
+        (:mod:`colbert_tpu.parallel.tp` — column-parallel q/k/v + mlp_in,
+        row-parallel attn_out + mlp_out, one all-reduce per block inserted
+        by XLA). With model=1 params are simply replicated and the DP
+        forward runs with no collectives. SURVEY §2's parallel-encode
+        replacement, reachable from the public ``Indexer``/``Searcher``
+        facades."""
         from jax.sharding import NamedSharding, PartitionSpec
+
+        from colbert_tpu.parallel.tp import shard_params
 
         self.mesh = mesh
         self._data_sharding = NamedSharding(mesh, PartitionSpec("data"))
-        repl = NamedSharding(mesh, PartitionSpec())
-        self.params = jax.tree.map(
-            lambda x: jax.device_put(x, repl), self.params
-        )
+        self.params = shard_params(self.params, mesh, self.bert_config)
 
     def _put_batch(self, ids, mask, keep):
         """Host arrays -> device arrays (padded + data-sharded under a mesh).

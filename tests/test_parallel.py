@@ -77,6 +77,40 @@ def test_encode_dp_matches_single(rng, mesh):
     np.testing.assert_allclose(out_dp, out_1, rtol=1e-4, atol=1e-5)
 
 
+def test_tp_encode_matches_single(rng):
+    """Megatron-sharded params (2 data x 4 model) must reproduce the
+    replicated forward exactly up to float reassociation."""
+    from colbert_tpu.models.bert import BertConfig
+    from colbert_tpu.models.colbert import encode_batch
+    from colbert_tpu.parallel.tp import shard_params, validate_tp
+    from colbert_tpu.utils.testing import make_encoder
+
+    enc = make_encoder(dim=16, seed=0, bert_config=BertConfig.tiny())
+    cfg = enc.bert_config  # 4 heads, intermediate 128: divisible by model=4
+    ids = rng.integers(0, cfg.vocab_size, size=(8, 12)).astype(np.int32)
+    mask = np.ones((8, 12), bool)
+    keep = mask.copy()
+    keep[:, 2] = False
+    out_1 = np.asarray(encode_batch(
+        enc.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(keep),
+        cfg=cfg, dtype_name="float32",
+    ))
+
+    tp_mesh = make_mesh(2, 4)
+    enc.attach_mesh(tp_mesh)
+    # params actually sharded on the model axis
+    qk = enc.params["bert"]["layers"]["q"]["kernel"]
+    assert "model" in qk.sharding.spec
+    ids_d, mask_d, keep_d = enc._put_batch(ids, mask, keep)
+    out_tp = np.asarray(encode_batch(
+        enc.params, ids_d, mask_d, keep_d, cfg=cfg, dtype_name="float32",
+    ))
+    np.testing.assert_allclose(out_tp, out_1, rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        validate_tp(BertConfig(num_attention_heads=6), 4)
+
+
 def test_sharded_scoring_topk_matches_single(rng, mesh):
     nbits, dim, kcent = 2, 16, 12
     n = 64 * 8  # embeddings

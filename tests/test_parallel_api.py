@@ -25,14 +25,18 @@ def _cfg(**kw):
 def builds(tmp_path_factory):
     passages = synthetic_collection(64, seed=3)
     paths = {}
-    for name, n_data in [("single", 1), ("mesh", -1)]:
-        cfg = _cfg(mesh_data_axis=n_data)
+    for name, n_data, n_model in [("single", 1, 1), ("mesh", -1, 1), ("tp", 4, 2)]:
+        cfg = _cfg(mesh_data_axis=n_data, mesh_model_axis=n_model)
         enc = make_encoder(dim=32, seed=0, config=cfg)
         path = str(tmp_path_factory.mktemp(f"par_{name}") / "idx")
         indexer = Indexer(cfg, encoder=enc, collection=passages)
         if name == "mesh":
             assert indexer.mesh is not None and indexer.mesh.shape["data"] == 8
             assert enc.mesh is indexer.mesh  # DP encode wired into the facade
+        elif name == "tp":
+            assert dict(indexer.mesh.shape) == {"data": 4, "model": 2}
+            qk = enc.params["bert"]["layers"]["q"]["kernel"]
+            assert "model" in qk.sharding.spec  # Megatron-sharded params
         else:
             assert indexer.mesh is None
         indexer.index(path)
@@ -62,6 +66,32 @@ def test_mesh_build_matches_single_device(builds):
     # so near-tied tail ranks may swap; the podium and scores must agree
     np.testing.assert_array_equal(pids1[:, :3], pids8[:, :3])
     np.testing.assert_allclose(scores1, scores8, atol=0.02)
+
+
+def test_tp_build_matches_single_device(builds):
+    """A 4x2 dp x tp build through the public Indexer must reproduce the
+    single-device index at the behavior level. (Unlike DP — which is
+    bitwise-identical per example — TP's per-block all-reduce perturbs
+    embeddings at float precision, which can flip near-tied k-means
+    assignments and move the affected centroids; retrieval must agree
+    anyway.)"""
+    passages, paths = builds
+    cfg1, enc1, p1 = paths["single"]
+    cfgt, enct, pt = paths["tp"]
+    c1, ct = fmt.load_codec(p1), fmt.load_codec(pt)
+    close = np.abs(c1["centroids"] - ct["centroids"]) < 2e-3
+    assert close.mean() > 0.9, f"only {close.mean():.2%} of centroid entries agree"
+    queries = [passages[5], passages[40], passages[17], "the dog runs"]
+    s1 = Searcher(p1, encoder=enc1)
+    st = Searcher(pt, encoder=enct)
+    pids1, scores1 = s1.search_batch(queries, k=5)
+    pidst, scorest = st.search_batch(queries, k=5)
+    # self-retrieval queries agree on the winner; scores agree closely
+    np.testing.assert_array_equal(pids1[:3, 0], [5, 40, 17])
+    np.testing.assert_array_equal(pidst[:3, 0], [5, 40, 17])
+    # scores reconstruct through slightly different codecs: <1% of the
+    # ~10-15 MaxSim magnitude
+    np.testing.assert_allclose(scores1[:, 0], scorest[:, 0], atol=0.15)
 
 
 def test_sharded_searcher_backend(builds):
