@@ -95,24 +95,43 @@ def flash_probe(n: int = 256) -> None:
     from colbert_tpu.models.colbert import init_colbert_params
     from colbert_tpu.models.encoder import ColBERTEncoder
 
+    from colbert_tpu.models.colbert import encode_batch
+
     tokenizer = bench_vocab_tokenizer()
     bert_cfg = bench_bert_config()
     params = init_colbert_params(jax.random.PRNGKey(0), bert_cfg, dim=128)
     # ~450-word passages tokenize past 384, so strict 128-buckets pad to 512
     passages = synthetic_passages(n, mean_words=450)
+    cfg = ColBERTConfig(
+        dim=128, doc_maxlen=512, query_maxlen=32, index_bsize=128,
+        length_bucket=128, use_pallas=True, flash_min_seqlen=512,
+    )
+    enc = ColBERTEncoder(params, bert_cfg, tokenizer, cfg)
+    batches = [
+        (jnp_ids, jnp_mask, jnp_keep)
+        for _, ids, mask, keep in enc._doc_batches(passages)
+        for jnp_ids, jnp_mask, jnp_keep in [enc._put_batch(ids, mask, keep)]
+    ]
     results = {}
     for flash in (False, True):
-        cfg = ColBERTConfig(
-            dim=128, doc_maxlen=512, query_maxlen=32, index_bsize=128,
-            length_bucket=128, use_pallas=flash, flash_min_seqlen=512,
-        )
-        enc = ColBERTEncoder(params, bert_cfg, tokenizer, cfg)
-        enc.encode_passages(passages[:64])  # warm/compile
+        def run():
+            out = None
+            for ids_d, mask_d, keep_d in batches:
+                out = encode_batch(
+                    params, ids_d, mask_d, keep_d, cfg=bert_cfg,
+                    dtype_name="bfloat16", use_flash=flash,
+                )
+            # programs run in order on one device: one scalar read at the
+            # end syncs the whole queue (block_until_ready is a no-op on
+            # the tunneled backend — CLAUDE.md)
+            float(out[0, 0, 0])
+
+        run()  # warm/compile
         t0 = time.time()
-        _, dl = enc.encode_passages(passages)
+        run()
         results[flash] = n / (time.time() - t0)
     ratio = results[True] / results[False]
-    log(f"flash attention @S=512 (doc_maxlen=512, {n} passages): "
+    log(f"flash attention @S=512, device program only (no D2H): "
         f"pallas {results[True]:.1f} p/s vs XLA {results[False]:.1f} p/s "
         f"({ratio:.2f}x{'' if ratio >= 1 else ' — XLA faster at this size'})")
 

@@ -80,11 +80,14 @@ class ColBERTConfig:
     # use the pallas fused kernels on TPU (auto-disabled on cpu backend)
     use_pallas: bool = True
     # minimum padded sequence length at which the encoder routes attention
-    # through the pallas flash kernel. Below this, XLA's fused attention is
-    # measurably faster on TPU (v5e: 60ms vs 80ms per 256x128 batch); above,
-    # the materialized (B, heads, S, S) score tensor dominates HBM traffic
-    # and the online-softmax kernel wins. Requires seqlen % 128 == 0.
-    flash_min_seqlen: int = 512
+    # through the pallas flash kernel (requires seqlen % 128 == 0).
+    # Measured on v5e, device-program-only (bench.py flash stage): XLA's
+    # fused attention BEATS the hand-written online-softmax kernel at every
+    # sequence length a BERT backbone can reach — 0.71x at S=512, 0.65x at
+    # S=1024 — so the default routes everything to XLA. The kernel stays
+    # wired + correctness-tested; lower this only after measuring a win on
+    # your chip/backbone.
+    flash_min_seqlen: int = 2048
     # length bucketing for doc encoding: pad each batch up to the next multiple
     # of this, bounded by doc_maxlen, to limit recompilation while avoiding
     # always padding to doc_maxlen.
