@@ -118,6 +118,17 @@ class ColBERTConfig:
     # before the stage-2 budget. The probed bound alone cannot separate
     # near-duplicate candidates (same cells -> tied scores); the refine
     # restores funnel precision at ~1/4 the old gather cost.
+    # Measured QPS/recall frontier (B=64, 4k tie-heavy corpus, v5e;
+    # score-recall@10 vs exhaustive):
+    #   (ncand= 512, refine, dupcomp): 46 QPS, 0.78
+    #   (ncand=1024, refine, dupcomp): 42 QPS, 0.89
+    #   (ncand=2048=full width, NO refine, no dupcomp): 55 QPS, 0.92
+    #   (ncand=2048=full width, NO refine, dupcomp):   47 QPS, 0.93
+    # i.e. the refine earns its ~7ms/query only when ncandidates is well
+    # below the dedup width; at ncandidates >= max_candidates it cannot
+    # change the scored set and costs nothing (short-circuited). On small
+    # corpora, widening plaid_stage2_docs to search_max_candidates beats
+    # refining a narrower cut on BOTH axes.
     plaid_stage1_refine: bool = True
     # device-search capacity knobs (static shapes of the jitted search
     # program). None = auto-size from the index: cell_cap from the largest
