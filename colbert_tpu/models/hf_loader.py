@@ -25,7 +25,7 @@ import numpy as np
 from colbert_tpu.models.bert import BertConfig
 from colbert_tpu.tokenization.wordpiece import WordPieceTokenizer
 
-__all__ = ["load_checkpoint", "load_state_dict"]
+__all__ = ["load_checkpoint", "load_state_dict", "save_checkpoint"]
 
 
 def load_state_dict(directory: str) -> Dict[str, np.ndarray]:
@@ -146,6 +146,35 @@ def state_dict_from_params(
     if "bias" in params["linear"]:
         sd["linear.bias"] = np.asarray(params["linear"]["bias"])
     return sd
+
+
+def save_checkpoint(
+    directory: str, params: Dict[str, Any], cfg: BertConfig, tokenizer
+) -> None:
+    """Write an HF-compatible ColBERT checkpoint directory
+    (``model.safetensors`` + ``config.json`` + ``vocab.txt``) that
+    :func:`load_checkpoint` reads back — the persistence path for
+    fine-tuned weights from :mod:`colbert_tpu.training`. The reference only
+    consumes checkpoints (local_loading.jl:139-209); it cannot produce them.
+    """
+    import dataclasses
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(directory, exist_ok=True)
+    sd = state_dict_from_params(params, cfg)
+    save_file(
+        {k: np.ascontiguousarray(v, dtype=np.float32) for k, v in sd.items()},
+        os.path.join(directory, "model.safetensors"),
+    )
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+    ids = sorted(tokenizer.vocab.values())
+    if ids != list(range(len(ids))):
+        raise ValueError("tokenizer vocab ids must be contiguous to export vocab.txt")
+    by_id = sorted(tokenizer.vocab.items(), key=lambda kv: kv[1])
+    with open(os.path.join(directory, "vocab.txt"), "w") as f:
+        f.write("\n".join(tok for tok, _ in by_id) + "\n")
 
 
 def load_checkpoint(

@@ -197,6 +197,17 @@ class ColBERTTrainer:
         self.history.append(metrics)
         return metrics
 
+    def save_checkpoint(self, directory: str) -> None:
+        """Persist the fine-tuned weights as an HF-compatible checkpoint
+        directory that ``Indexer``/``Searcher`` (and
+        :func:`colbert_tpu.models.hf_loader.load_checkpoint`) load back."""
+        from colbert_tpu.models.hf_loader import save_checkpoint
+
+        save_checkpoint(
+            directory, self.encoder.params, self.encoder.bert_config,
+            self.encoder.tokenizer,
+        )
+
     def train(
         self,
         triples: Iterable[Tuple[str, str, str]],

@@ -96,3 +96,16 @@ def test_trained_params_flow_into_retrieval(tmp_path):
     s = Searcher(path, encoder=enc)
     pids, _ = s.search_batch([passages[4], passages[21]], k=3)
     assert pids[0][0] == 4 and pids[1][0] == 21
+
+    # fine-tuned weights export as an HF-compatible checkpoint and load
+    # back bit-for-bit through the production loader
+    from colbert_tpu.models.hf_loader import load_checkpoint
+
+    ckpt = str(tmp_path / "ckpt")
+    trainer.save_checkpoint(ckpt)
+    cfg2, params2, tok2 = load_checkpoint(ckpt)
+    for a, b in zip(
+        jax.tree.leaves(enc.params), jax.tree.leaves(params2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert tok2.vocab == enc.tokenizer.vocab
