@@ -142,6 +142,13 @@ class ColBERTConfig:
     # duplicated probe centroids, bounding the static per-probe entry budget
     # (oversized cells cost extra probe slots, truncated beyond 4 sub-cells).
     # None = 1024. Set 0 to disable splitting.
+    # The cap is also the dominant stage-1 cost term (per-query work scales
+    # with nprobe * cell_cap) and is CORPUS-DEPENDENT — measured on v5e:
+    # on a 4k corpus whose mega-cells are redundant near-duplicates,
+    # cap 1024 -> 128 DOUBLED tuned QPS (95 -> 194) while recall rose
+    # (0.93 -> 0.96); on a 141k corpus where mega-cells carry real mass the
+    # same change cratered recall (0.54 -> 0.29) for little QPS. Tune per
+    # corpus with bench.py's recall stage; 1024 is the safe default.
     ivf_balance_cap: int | None = None
     # add (probe_dup_max - 1) probe slots so one split cell's duplicates
     # don't crowd out distinct cells (recall-preserving, costs entry budget

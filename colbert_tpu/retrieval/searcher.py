@@ -139,8 +139,10 @@ class Searcher:
 
         cfg = self.config
         logger = logging.getLogger(__name__)
-        # pallas fused decompress+MaxSim for stage-2 (TPU only; ~2.4x the
-        # XLA path and higher fp32 accuracy — see ops/fused_maxsim.py)
+        # pallas fused decompress+MaxSim for stage-2 (TPU only): ~XLA-par
+        # at most batch buckets, 18x faster at the B=8 bucket where XLA
+        # schedules pathologically, and higher fp32 accuracy — see
+        # device_index._stage2_scores and ops/fused_maxsim.py
         from colbert_tpu.ops.fused_maxsim import pallas_stage2_supported
 
         self._stage2_pallas = bool(cfg.use_pallas) and pallas_stage2_supported(
