@@ -47,10 +47,10 @@ class ShardedDeviceIndex:
     bucket_weights: jax.Array  # (2^nbits,) replicated
     codes: jax.Array           # (D, Ns+1) sharded on axis 0
     residuals: jax.Array       # (D, Ns+1, nbytes)
-    ivf: jax.Array             # (D, Ns+1)
+    ivf: jax.Array             # (D, Ns+1) local PIDS grouped by cell (eids
+                               # mapped at build, like DeviceIndex)
     ivf_offsets: jax.Array     # (D, k)
     ivf_lengths: jax.Array     # (D, k)
-    emb2pid: jax.Array         # (D, Ns+1) local pids
     doclens: jax.Array         # (D, Ps+1)
     emb_offsets: jax.Array     # (D, Ps+1)
     n_cells: jax.Array         # (D, 1) int32: valid probe-table rows per shard
@@ -153,7 +153,7 @@ class ShardedDeviceIndex:
 
         A = {
             "codes": [], "residuals": [], "ivf": [], "ivf_offsets": [],
-            "ivf_lengths": [], "emb2pid": [], "doclens": [], "emb_offsets": [],
+            "ivf_lengths": [], "doclens": [], "emb_offsets": [],
             "probe_cents": [], "n_cells": [],
         }
         min_ncells = K_max
@@ -166,8 +166,10 @@ class ShardedDeviceIndex:
             res_p[:Ns] = lr
             e2p = np.full(Ns_max + 1, sent_pid, np.int32)
             e2p[:Ns] = np.repeat(np.arange(Ps, dtype=np.int32), dl)
+            # local IVF carries PIDS (one stage-1 gather, not two)
             ivf_p = np.full(Ns_max + 1, sent_eid, np.int32)
             ivf_p[:Ns] = ivf_local
+            ivf_p = e2p[ivf_p]
             offs = np.full(Ps_max + 1, sent_eid, np.int32)
             offs[:Ps] = np.concatenate([[0], np.cumsum(dl[:-1])]) if Ps else 0
             dl_p = np.zeros(Ps_max + 1, np.int32)
@@ -182,7 +184,6 @@ class ShardedDeviceIndex:
             )
             A["n_cells"].append(np.asarray([len(sl)], np.int32))
             min_ncells = min(min_ncells, len(sl))
-            A["emb2pid"].append(e2p)
             A["doclens"].append(dl_p)
             A["emb_offsets"].append(offs)
 
@@ -234,7 +235,7 @@ class ShardedDeviceIndex:
         local_pids, local_scores, _overflow = fn(
             jax.device_put(Q, repl),
             self.centroids, self.probe_cents, self.codes, self.residuals,
-            self.ivf, self.ivf_offsets, self.ivf_lengths, self.emb2pid,
+            self.ivf, self.ivf_offsets, self.ivf_lengths,
             self.doclens, self.emb_offsets, self.bucket_weights, self.n_cells,
         )
         # host merge: (D, B, k_local) -> global pids, top-k per query
@@ -273,7 +274,7 @@ def _sharded_search_fn_cached(mesh, static_items):
             P(),              # centroids (codec table)
             P("data"),        # probe_cents (per-shard probe table)
             P("data"), P("data"), P("data"), P("data"), P("data"),
-            P("data"), P("data"), P("data"),
+            P("data"), P("data"),
             P(),              # bucket_weights
             P("data"),        # n_cells (valid probe rows per shard)
         ),
@@ -281,13 +282,13 @@ def _sharded_search_fn_cached(mesh, static_items):
         check_vma=False,
     )
     def search(Q, centroids, probe_cents, codes, residuals, ivf,
-               ivf_offsets, ivf_lengths, emb2pid, doclens, emb_offsets,
+               ivf_offsets, ivf_lengths, doclens, emb_offsets,
                bucket_weights, n_cells):
         # local shard arrays arrive with a leading length-1 device axis
         def one(q):
             return _search_core(
                 q, centroids, probe_cents[0], codes[0], residuals[0], ivf[0],
-                ivf_offsets[0], ivf_lengths[0], emb2pid[0], doclens[0],
+                ivf_offsets[0], ivf_lengths[0], doclens[0],
                 emb_offsets[0], bucket_weights, probe_ncells=n_cells[0, 0],
                 **static,
             )

@@ -20,7 +20,7 @@ All shapes are static (``nprobe``, per-cell cap, dedup capacity, stage-2
 per index geometry.
 
 HBM cost: codes 4B + residuals dim/8·nbits B per token (~36B at dim=128
-nbits=2) + ivf/emb2pid 8B — an 8.8M-passage MS MARCO index (~600M tokens)
+nbits=2) + a pid-valued IVF 4B — an 8.8M-passage MS MARCO index (~600M tokens)
 fits in a few GB.
 """
 
@@ -87,10 +87,14 @@ class DeviceIndex:
                                 # duplicates oversized cells' rows; k' >= k)
     codes: jax.Array          # (N+1,) uint32 — last row is the sentinel token
     residuals: jax.Array      # (N+1, nbytes) uint8
-    ivf: jax.Array            # (N+pad,) int32 eids grouped by centroid
+    ivf: jax.Array            # (N+pad,) int32 PIDS grouped by centroid — the
+                              # on-disk IVF stores eids; the device copy maps
+                              # them to pids at build time so stage-1 does ONE
+                              # random gather per entry instead of two
+                              # (ivf[idx] then emb2pid[eid]; TPU scalar
+                              # gathers are the stage-1 cost)
     ivf_offsets: jax.Array    # (k,) int32
     ivf_lengths: jax.Array    # (k,) int32
-    emb2pid: jax.Array        # (N+1,) int32 — sentinel eid -> sentinel pid
     doclens: jax.Array        # (P+1,) int32 — sentinel pid has doclen 0
     emb_offsets: jax.Array    # (P+1,) int32 — sentinel pid points at sentinel token
     bucket_weights: jax.Array # (2^nbits,) f32
@@ -189,10 +193,14 @@ class DeviceIndex:
         dl_p = np.concatenate([doclens.astype(np.int32), np.zeros(1, np.int32)])
 
         ivf_offsets = orig_offsets.astype(np.int32)
-        # pad the ivf tail so offset reads at empty trailing cells stay in bounds
+        # pad the ivf tail so offset reads at empty trailing cells stay in
+        # bounds, then map eids -> pids ONCE on the host: stage-1 then pays
+        # one random gather per probed entry instead of two (emb2pid never
+        # ships to HBM)
         ivf_p = np.concatenate(
-            [ivf.astype(np.int32), np.full(1, sentinel_eid, np.int32)]
+            [ivf.astype(np.int64), np.full(1, sentinel_eid, np.int64)]
         )
+        ivf_pid = emb2pid[ivf_p]
 
         max_doclen = int(doclens.max()) if P else 1
         max_doclen = max(32, -(-max_doclen // 32) * 32)
@@ -202,10 +210,9 @@ class DeviceIndex:
             probe_centroids=jnp.asarray(probe_centroids, jnp.float32),
             codes=jnp.asarray(codes_p),
             residuals=jnp.asarray(res_p),
-            ivf=jnp.asarray(ivf_p),
+            ivf=jnp.asarray(ivf_pid),
             ivf_offsets=jnp.asarray(ivf_offsets),
             ivf_lengths=jnp.asarray(ivf_lengths, jnp.int32),
-            emb2pid=jnp.asarray(emb2pid),
             doclens=jnp.asarray(dl_p),
             emb_offsets=jnp.asarray(offsets),
             bucket_weights=jnp.asarray(bucket_weights, jnp.float32),
@@ -255,7 +262,7 @@ class DeviceIndex:
             Q,
             self.centroids, self.probe_centroids, self.codes, self.residuals,
             self.ivf, self.ivf_offsets, self.ivf_lengths,
-            self.emb2pid, self.doclens, self.emb_offsets, self.bucket_weights,
+            self.doclens, self.emb_offsets, self.bucket_weights,
             sentinel_pid=self.n_passages,
             nbits=self.nbits,
             max_doclen=self.max_doclen,
@@ -286,7 +293,7 @@ class DeviceIndex:
             params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
             self.centroids, self.probe_centroids, self.codes, self.residuals,
             self.ivf, self.ivf_offsets, self.ivf_lengths,
-            self.emb2pid, self.doclens, self.emb_offsets, self.bucket_weights,
+            self.doclens, self.emb_offsets, self.bucket_weights,
             bert_cfg=bert_cfg, dtype_name=dtype_name,
             sentinel_pid=self.n_passages,
             nbits=self.nbits,
@@ -334,7 +341,7 @@ class DeviceIndex:
 def _search_core(
     Q,                     # (Lq, dim) f32
     centroids, probe_cents, codes, residuals, ivf, ivf_offsets, ivf_lengths,
-    emb2pid, doclens, emb_offsets, bucket_weights,
+    doclens, emb_offsets, bucket_weights,
     *, sentinel_pid: int, nbits: int, max_doclen: int,
     k: int, nprobe: int, ncandidates: int, cell_cap: int, max_candidates: int,
     centroid_threshold: float | None = None,
@@ -373,12 +380,14 @@ def _search_core(
     entry_score = probe_scores.reshape(-1)                    # (ncells,)
 
     # --- 2. padded IVF gather (reference ranking.jl:7-21) ---
+    # the device IVF holds PIDS (mapped from eids at build): one random
+    # gather per probed entry, not two
     base = ivf_offsets[cells]                                   # (ncells,)
     lens = jnp.where(keep_cell, ivf_lengths[cells], 0)
     ar = jnp.arange(cell_cap, dtype=jnp.int32)
     idx = base[:, None] + jnp.minimum(ar[None, :], jnp.maximum(lens[:, None] - 1, 0))
     valid = ar[None, :] < lens[:, None]
-    eids = jnp.where(valid, ivf[idx], sentinel_eid)             # (ncells, cell_cap)
+    pids_e = jnp.where(valid, ivf[idx], sentinel_pid)           # (ncells, cell_cap)
 
     # --- 3+4. on-device pid dedup + stage-1 ranking, gather-free ---
     # Every IVF entry already carries its originating cell's centroid score
@@ -391,7 +400,7 @@ def _search_core(
     # the WARP/XTR missing-token imputation. The imputation constant is
     # candidate-independent, so ranking only needs the non-negative
     # adjusted contributions (score − impute[q]).
-    flat_pids = emb2pid[eids.reshape(-1)]                       # (E,)
+    flat_pids = pids_e.reshape(-1)                              # (E,)
     if probe_ncells is None:
         impute = probe_scores[:, nprobe - 1]                     # (Lq,)
     else:
@@ -609,12 +618,12 @@ _STATIC = (
 @functools.partial(jax.jit, static_argnames=_STATIC)
 def _search_batch(
     Q, centroids, probe_cents, codes, residuals, ivf, ivf_offsets, ivf_lengths,
-    emb2pid, doclens, emb_offsets, bucket_weights, **static,
+    doclens, emb_offsets, bucket_weights, **static,
 ):
     def one(q):
         return _search_core(
             q, centroids, probe_cents, codes, residuals, ivf, ivf_offsets,
-            ivf_lengths, emb2pid, doclens, emb_offsets, bucket_weights,
+            ivf_lengths, doclens, emb_offsets, bucket_weights,
             **static,
         )
 
@@ -625,7 +634,7 @@ def _search_batch(
 def _search_tokens(
     params, input_ids, attention_mask,
     centroids, probe_cents, codes, residuals, ivf, ivf_offsets, ivf_lengths,
-    emb2pid, doclens, emb_offsets, bucket_weights,
+    doclens, emb_offsets, bucket_weights,
     *, bert_cfg, dtype_name, **static,
 ):
     from colbert_tpu.models.colbert import _forward_normalized
@@ -639,7 +648,7 @@ def _search_tokens(
     def one(q):
         return _search_core(
             q, centroids, probe_cents, codes, residuals, ivf, ivf_offsets,
-            ivf_lengths, emb2pid, doclens, emb_offsets, bucket_weights,
+            ivf_lengths, doclens, emb_offsets, bucket_weights,
             **static,
         )
 
