@@ -420,17 +420,21 @@ def _search_core(
     # sort entries by (pid, q): ONE int32 composite-key sort (scores stay
     # OUT of the key — per-(pid, q) maxima come from a segment_max after the
     # sort), valid for corpora up to 2^31 / next_pow2(Lq) passages (67M at
-    # Lq=32); beyond that, a float q-sort + stable pid sort.
+    # Lq=32); beyond that, a two-key lexicographic sort. Both paths use
+    # ``lax.sort`` with the score CARRIED as an operand: argsort + gathers
+    # would add three more random gathers per entry (the TPU-slow op), and
+    # no stability is needed — entries tied on (pid, q) are interchangeable
+    # under the downstream segment_max.
     qbits = max(1, (Lq - 1).bit_length())
     if sentinel_pid < (1 << (31 - qbits)) and not force_float_sort:
         key = (flat_pids.astype(jnp.int32) << qbits) | flat_q
-        ord2 = jnp.argsort(key)
-        p2, a2, q2 = flat_pids[ord2], flat_adj[ord2], flat_q[ord2]
+        key_sorted, a2 = jax.lax.sort((key, flat_adj), num_keys=1)
+        p2 = key_sorted >> qbits
+        q2 = key_sorted & ((1 << qbits) - 1)
     else:
-        ord1 = jnp.argsort(flat_q.astype(jnp.float32))
-        p1, a1, q1 = flat_pids[ord1], flat_adj[ord1], flat_q[ord1]
-        ord2 = jnp.argsort(p1, stable=True)
-        p2, a2, q2 = p1[ord2], a1[ord2], q1[ord2]
+        p2, q2, a2 = jax.lax.sort(
+            (flat_pids, flat_q, flat_adj), num_keys=2
+        )
 
     changed = jnp.concatenate(
         [jnp.ones((1,), bool), (p2[1:] != p2[:-1]) | (q2[1:] != q2[:-1])]
