@@ -150,6 +150,65 @@ class IndexUpdater:
         self._rebuild_ivf(plan)
         logger.info("removed %d pids (%d tombstoned total)", len(pids), len(merged))
 
+    def compact(self) -> np.ndarray:
+        """Physically drop tombstoned rows -> old->new pid map (int64, -1
+        for removed pids).
+
+        ``remove`` is O(metadata) and keeps rows on disk; compaction
+        rewrites every chunk without the deleted passages, renumbers pids
+        densely (chunk order preserved), clears the tombstone overlay, and
+        rebuilds the IVF. Run it when tombstones accumulate; searchers
+        opened afterwards see the smaller index.
+        """
+        plan = fmt.load_plan(self.index_path)
+        deleted = fmt.load_deleted(self.index_path)
+        n_docs = int(plan["num_documents"])
+        pid_map = np.full(n_docs, -1, np.int64)
+        keep_mask = np.ones(n_docs, bool)
+        keep_mask[deleted] = False
+        pid_map[keep_mask] = np.arange(int(keep_mask.sum()))
+        if not len(deleted):
+            return pid_map
+
+        new_chunks = []
+        pid = 0
+        for ci in range(int(plan["num_chunks"])):
+            chunk = fmt.load_chunk(self.index_path, ci)
+            dl = chunk["doclens"].astype(np.int64)
+            n = len(dl)
+            keep = keep_mask[pid : pid + n]
+            row_keep = np.repeat(keep, dl)
+            new_chunks.append((
+                chunk["codes"][row_keep],
+                chunk["residuals"][row_keep],
+                dl[keep],
+            ))
+            pid += n
+
+        passage_offset = 0
+        total_embs = 0
+        offsets = []
+        for ci, (codes, residuals, dl) in enumerate(new_chunks):
+            fmt.save_chunk(
+                self.index_path, ci,
+                codes=codes, residuals=residuals,
+                doclens=dl, passage_offset=passage_offset,
+            )
+            offsets.append(total_embs)
+            passage_offset += len(dl)
+            total_embs += int(codes.shape[0])
+        plan["num_documents"] = passage_offset
+        plan["num_embeddings"] = total_embs
+        plan["embedding_offsets"] = offsets
+        fmt.save_plan(self.index_path, plan)
+        fmt.save_deleted(self.index_path, np.zeros((0,), np.int64))
+        self._rebuild_ivf(plan)
+        logger.info(
+            "compacted: %d pids removed, %d remain (%d embeddings)",
+            len(deleted), passage_offset, total_embs,
+        )
+        return pid_map
+
     # ------------------------------------------------------------------
 
     def _rebuild_ivf(self, plan: dict) -> None:

@@ -11,6 +11,7 @@ all-reduce).
 from colbert_tpu.training.trainer import (
     ColBERTTrainer,
     colbert_maxsim,
+    distill_kl_loss,
     make_train_step,
     pairwise_softmax_loss,
 )
@@ -18,6 +19,7 @@ from colbert_tpu.training.trainer import (
 __all__ = [
     "ColBERTTrainer",
     "colbert_maxsim",
+    "distill_kl_loss",
     "make_train_step",
     "pairwise_softmax_loss",
 ]

@@ -33,6 +33,7 @@ from colbert_tpu.models.colbert import ColBERTParams, encode_batch
 __all__ = [
     "colbert_maxsim",
     "pairwise_softmax_loss",
+    "distill_kl_loss",
     "make_train_step",
     "ColBERTTrainer",
 ]
@@ -62,6 +63,18 @@ def pairwise_softmax_loss(
     """Original ColBERT objective: CE over the (pos, neg) score pair."""
     logits = jnp.stack([scores_pos, scores_neg], axis=-1)  # (B, 2)
     return -jax.nn.log_softmax(logits, axis=-1)[..., 0].mean()
+
+
+def distill_kl_loss(student_logits: jax.Array, teacher_scores: jax.Array) -> jax.Array:
+    """ColBERTv2's distillation objective: KL(softmax(teacher) ||
+    softmax(student)) over each example's candidate scores (Santhanam et
+    al. 2022 — the recipe behind the reference's own checkpoint). Zero
+    exactly when the student reproduces the teacher's score gaps."""
+    t = jax.nn.softmax(teacher_scores, axis=-1)
+    return jnp.sum(
+        t * (jnp.log(jnp.maximum(t, 1e-12)) - jax.nn.log_softmax(student_logits, -1)),
+        axis=-1,
+    ).mean()
 
 
 def _inbatch_loss(S_pos: jax.Array, scores_neg: jax.Array) -> jax.Array:
@@ -105,7 +118,13 @@ def make_train_step(
         )
         Dp, Dn = D[:B], D[B:]
         kp, kn = d_keep[:B], d_keep[B:]
-        if in_batch_negatives:
+        if "teacher_scores" in batch:
+            # ColBERTv2 distillation: match the teacher's (pos, neg) gaps
+            s_pos = jnp.diagonal(colbert_maxsim(Q, Dp, kp))
+            s_neg = jnp.diagonal(colbert_maxsim(Q, Dn, kn))
+            logits = jnp.stack([s_pos, s_neg], axis=-1)
+            loss = distill_kl_loss(logits, batch["teacher_scores"])
+        elif in_batch_negatives:
             S_pos = colbert_maxsim(Q, Dp, kp)               # (B, B)
             s_neg = jnp.diagonal(colbert_maxsim(Q, Dn, kn)) # (B,)
             loss = _inbatch_loss(S_pos, s_neg)
@@ -187,9 +206,20 @@ class ColBERTTrainer:
             batch[f"{name}_keep"] = skiplist_keep_mask(ids, mask, enc.skiplist)
         return batch
 
-    def train_step(self, triples: Sequence[Tuple[str, str, str]]) -> dict:
-        """One optimizer step on a batch of (query, pos, neg) -> metrics."""
-        batch = {k: jnp.asarray(v) for k, v in self._tensorize(triples).items()}
+    def train_step(
+        self,
+        triples: Sequence[Tuple[str, str, str]],
+        teacher_scores: np.ndarray | None = None,
+    ) -> dict:
+        """One optimizer step on a batch of (query, pos, neg) -> metrics.
+
+        With ``teacher_scores`` (B, 2) — a cross-encoder's (pos, neg)
+        scores — the step optimizes ColBERTv2's KL distillation objective
+        instead of the contrastive CE."""
+        host = self._tensorize(triples)
+        if teacher_scores is not None:
+            host["teacher_scores"] = np.asarray(teacher_scores, np.float32)
+        batch = {k: jnp.asarray(v) for k, v in host.items()}
         self.encoder.params, self.opt_state, metrics = self._step(
             self.encoder.params, self.opt_state, batch
         )

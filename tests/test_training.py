@@ -43,6 +43,35 @@ def test_pairwise_loss_properties():
     np.testing.assert_allclose(even, np.log(2), rtol=1e-5)
 
 
+def test_distill_kl_properties():
+    from colbert_tpu.training.trainer import distill_kl_loss
+
+    logits = jnp.asarray([[3.0, 1.0], [0.5, 2.5]])
+    # matching teacher (any constant shift) -> zero loss
+    np.testing.assert_allclose(
+        float(distill_kl_loss(logits, logits + 7.0)), 0.0, atol=1e-6
+    )
+    # disagreeing teacher -> positive loss
+    assert float(distill_kl_loss(logits, -logits)) > 0.1
+
+
+def test_distillation_follows_teacher_not_labels():
+    """With inverted teacher scores (teacher prefers the 'negative'), KL
+    training must push the student's margin NEGATIVE — proof the step
+    optimizes the teacher distribution, not the contrastive labels."""
+    import optax
+
+    enc = make_encoder(dim=32, seed=0)
+    trainer = ColBERTTrainer(enc, optimizer=optax.adam(1e-3))
+    triples = _triples(8, seed=3)
+    teacher = np.tile(np.asarray([[0.0, 4.0]], np.float32), (8, 1))  # neg wins
+    first = trainer.train_step(triples, teacher_scores=teacher)
+    for _ in range(14):
+        last = trainer.train_step(triples, teacher_scores=teacher)
+    assert last["loss"] < first["loss"]
+    assert last["margin"] < 0  # student learned the teacher's preference
+
+
 def _triples(n, seed=0):
     """Positives share the query's words; negatives come from other docs."""
     rng = np.random.default_rng(seed)

@@ -106,6 +106,38 @@ def test_remove_validates_and_merges(built):
     np.testing.assert_array_equal(fmt.load_deleted(path), [1, 2])
 
 
+def test_compact_drops_rows_and_renumbers(built):
+    cfg, encoder, passages, path = built
+    up = IndexUpdater(path, encoder)
+    victims = [0, 17, 47]
+    up.remove(victims)
+    s_before = Searcher(path, encoder=encoder)
+    survivors = [i for i in range(48) if i not in victims]
+    q = [passages[3], passages[30]]
+    p_before, sc_before = s_before.search_batch(q, k=5)
+
+    pid_map = up.compact()
+    assert (pid_map[victims] == -1).all()
+    np.testing.assert_array_equal(pid_map[survivors], np.arange(45))
+    assert len(fmt.load_deleted(path)) == 0
+    plan = fmt.load_plan(path)
+    assert plan["num_documents"] == 45
+    assert fmt.check_all_files_saved(path) == []
+    # total embeddings shrank by exactly the victims' doclens
+    assert plan["num_embeddings"] == int(fmt.load_all_doclens(path).sum())
+
+    s = Searcher(path, encoder=encoder)
+    p_after, sc_after = s.search_batch(q, k=5)
+    # same results modulo the renumbering
+    np.testing.assert_array_equal(
+        p_after, np.where(p_before >= 0, pid_map[p_before], -1)
+    )
+    np.testing.assert_allclose(sc_after, sc_before, rtol=1e-5, atol=1e-5)
+    # compaction is idempotent when nothing is tombstoned
+    pid_map2 = up.compact()
+    np.testing.assert_array_equal(pid_map2, np.arange(45))
+
+
 def test_add_then_remove_roundtrip(built):
     cfg, encoder, passages, path = built
     up = IndexUpdater(path, encoder)
