@@ -66,7 +66,14 @@ def build_ivf(codes: np.ndarray, num_partitions: int) -> tuple[np.ndarray, np.nd
 
     Reference: collection_indexer.jl:349-353 ``_build_ivf`` —
     ``ivf = sortperm(codes)``, ``ivf_lengths = counts per centroid``.
+    Runs through the native C++ counting sort (O(N); native/ivf.cpp) with a
+    bit-identical numpy argsort fallback.
     """
+    from colbert_tpu.indexing.native_ivf import build_ivf_native
+
+    native = build_ivf_native(codes, num_partitions)
+    if native is not None:
+        return native
     ivf = np.argsort(codes, kind="stable").astype(np.int64)
     ivf_lengths = np.bincount(codes.astype(np.int64), minlength=num_partitions).astype(
         np.int32

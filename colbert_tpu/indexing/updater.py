@@ -47,13 +47,20 @@ def build_ivf_excluding(
     """IVF over ``codes`` with ``deleted_eids`` rows excluded from every
     cell. Masked rows are assigned a virtual overflow cell past the last
     partition: they sort to the tail of the eid array and the per-cell
-    lengths never count them, so no probe can reach them."""
-    codes = np.asarray(codes, np.int64)
+    lengths never count them, so no probe can reach them. Native C++
+    counting sort with a bit-identical numpy fallback."""
+    from colbert_tpu.indexing.native_ivf import build_ivf_native
+
+    codes_u = np.ascontiguousarray(codes, np.uint32)
     if deleted_eids is not None and len(deleted_eids):
-        codes = codes.copy()
-        codes[deleted_eids] = num_partitions
-    ivf = np.argsort(codes, kind="stable").astype(np.int32)
-    lengths = np.bincount(codes, minlength=num_partitions + 1)[:num_partitions]
+        codes_u = codes_u.copy()
+        codes_u[deleted_eids] = num_partitions
+    native = build_ivf_native(codes_u, num_partitions)
+    if native is not None:
+        return native
+    codes64 = codes_u.astype(np.int64)
+    ivf = np.argsort(codes64, kind="stable").astype(np.int32)
+    lengths = np.bincount(codes64, minlength=num_partitions + 1)[:num_partitions]
     return ivf, lengths.astype(np.int32)
 
 

@@ -111,15 +111,19 @@ class ShardedDeviceIndex:
             local_res = residuals[e0:e1]
             # exclude tombstoned pids from the local IVF: their rows sort
             # into a virtual overflow cell past the last partition that no
-            # probe-table row addresses (same scheme as
-            # updater.build_ivf_excluding)
-            ivf_codes = local_codes.astype(np.int64)
+            # probe-table row addresses (updater.build_ivf_excluding — the
+            # native counting sort with numpy fallback)
+            from colbert_tpu.indexing.updater import build_ivf_excluding
+
             local_del = deleted_pids[(deleted_pids >= p0) & (deleted_pids < p1)]
-            for p in local_del:
-                a = emb_offsets_global[p] - e0
-                ivf_codes[a : a + doclens[p]] = k
-            ivf_local = np.argsort(ivf_codes, kind="stable").astype(np.int32)
-            ivf_len = np.bincount(ivf_codes, minlength=k + 1)[:k].astype(np.int32)
+            local_del_eids = np.concatenate([
+                np.arange(emb_offsets_global[p] - e0,
+                          emb_offsets_global[p] - e0 + doclens[p])
+                for p in local_del
+            ] or [np.zeros(0, np.int64)]).astype(np.int64)
+            ivf_local, ivf_len = build_ivf_excluding(
+                local_codes, k, local_del_eids
+            )
             shards.append((dl, local_codes, local_res, ivf_local, ivf_len))
             Ps_max = max(Ps_max, len(dl))
             Ns_max = max(Ns_max, len(local_codes))

@@ -50,6 +50,31 @@ def test_ivf_excluding_unit(rng):
         assert (cells[offs[c]:offs[c + 1]] == c).all()
 
 
+def test_native_ivf_matches_numpy(rng):
+    """The C++ counting sort must be bit-identical to np.argsort(stable) —
+    grouping, within-cell order, tombstone tail, and lengths."""
+    from colbert_tpu.indexing.native_ivf import build_ivf_native
+
+    k = 37
+    codes = rng.integers(0, k, 5000).astype(np.uint32)
+    codes[rng.choice(5000, 200, replace=False)] = k  # tombstone overflow cell
+    native = build_ivf_native(codes, k)
+    if native is None:
+        pytest.skip("native toolchain unavailable")
+    ivf_n, len_n = native
+    codes64 = codes.astype(np.int64)
+    ivf_np = np.argsort(codes64, kind="stable").astype(np.int32)
+    len_np = np.bincount(codes64, minlength=k + 1)[:k].astype(np.int32)
+    np.testing.assert_array_equal(ivf_n, ivf_np)
+    np.testing.assert_array_equal(len_n, len_np)
+    # empty + all-overflow edge cases
+    e_ivf, e_len = build_ivf_native(np.zeros(0, np.uint32), 4)
+    assert e_ivf.shape == (0,) and (e_len == 0).all()
+    o_ivf, o_len = build_ivf_native(np.full(10, 9, np.uint32), 4)
+    np.testing.assert_array_equal(o_ivf, np.arange(10))
+    assert (o_len == 0).all()
+
+
 def test_add_passages_searchable(built):
     cfg, encoder, passages, path = built
     extra = synthetic_collection(7, seed=9)
