@@ -266,3 +266,32 @@ Indexer(cfg, encoder=enc, collection=passages).index({path!r})
     np.testing.assert_array_equal(
         fmt.load_all_codes(path2), fmt.load_all_codes(path)
     )
+
+
+def test_long_context_end_to_end(tmp_path):
+    """doc_maxlen > 512 (SURVEY §5 long-context): ~600-token passages build
+    and retrieve through the full pipeline — the reference truncates at 300
+    and has no long-doc story (config.jl:72). On TPU these lengths route
+    through strict 128-buckets; attention stays on XLA's fused path (the
+    flash kernel measured slower at every BERT-reachable length, see
+    config.flash_min_seqlen)."""
+    from colbert_tpu.models.bert import BertConfig
+
+    cfg = ColBERTConfig(
+        dim=32, doc_maxlen=640, query_maxlen=16, index_bsize=4,
+        length_bucket=128, chunksize=8, nbits=2, kmeans_niters=4, nprobe=4,
+    )
+    bert_cfg = BertConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=768,
+    )
+    encoder = make_encoder(dim=32, seed=0, config=cfg, bert_config=bert_cfg)
+    passages = synthetic_collection(12, seed=6, words_per_doc=600)
+    path = str(tmp_path / "idx")
+    Indexer(cfg, encoder=encoder, collection=passages).index(path)
+    s = Searcher(path, encoder=encoder)
+    # long docs were not truncated: doclens reflect ~600 kept tokens
+    assert int(np.median(s.doclens)) > 400
+    pids, _ = s.search_batch([passages[3][:400], passages[9][:400]], k=3)
+    assert pids[0][0] == 3 and pids[1][0] == 9
