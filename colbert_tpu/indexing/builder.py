@@ -34,7 +34,6 @@ from colbert_tpu.indexing.planner import (
     setup_plan,
 )
 from colbert_tpu.models.encoder import ColBERTEncoder
-from colbert_tpu.ops import codec as codec_ops
 from colbert_tpu.storage import format as fmt
 from colbert_tpu.storage.collection import Collection
 from colbert_tpu.utils.tracing import Tracer

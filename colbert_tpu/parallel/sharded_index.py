@@ -22,7 +22,6 @@ from dataclasses import dataclass
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -17,7 +17,7 @@ The reference scores one query at a time and decompresses on CPU;
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp

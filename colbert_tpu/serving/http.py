@@ -15,7 +15,6 @@ clients share device dispatches. The reference has no serving layer
 from __future__ import annotations
 
 import json
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np

@@ -18,15 +18,13 @@ The reference has no training code; "training support" is its roadmap item
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Iterable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from colbert_tpu.config import ColBERTConfig
 from colbert_tpu.models.bert import BertConfig
 from colbert_tpu.models.colbert import ColBERTParams, encode_batch
 
