@@ -140,23 +140,38 @@ N_TOPICS = 64
 TOPIC_VOCAB = 60  # words per topic (overlapping windows over the word list)
 
 
-def _topic_words(topic: int, n_words: int) -> np.ndarray:
-    start = (topic * (n_words - TOPIC_VOCAB)) // max(1, N_TOPICS - 1)
-    return np.arange(start, start + TOPIC_VOCAB)
+def _topic_words(topic: int, n_words: int, n_topics: int = N_TOPICS) -> np.ndarray:
+    if n_topics <= N_TOPICS:
+        # default corpus: overlapping sliding windows (adjacent topics share
+        # most words — centroid pruning cannot lean on disjoint vocabulary)
+        start = (topic * (n_words - TOPIC_VOCAB)) // max(1, n_topics - 1)
+        return np.arange(start, start + TOPIC_VOCAB)
+    # scale-matched corpora (bench_scale): windows would overlap at ~2-word
+    # spacing and collapse back into near-duplicates; random per-topic word
+    # SETS keep topics distinct while per-topic tie counts stay ~n/n_topics
+    return np.random.default_rng(100_000 + topic).choice(
+        n_words, size=TOPIC_VOCAB, replace=False
+    )
 
 
-def synthetic_passages(n: int, mean_words: int = 110, n_words: int = 2000) -> list[str]:
+def synthetic_passages(
+    n: int, mean_words: int = 110, n_words: int = 2000,
+    n_topics: int = N_TOPICS,
+) -> list[str]:
     """Topical corpus: each passage draws ~60% of its words from one of
-    N_TOPICS overlapping vocabulary windows and ~40% from the global
-    vocabulary. Real collections are topical (uniform-random tokens would
-    make every query's IVF candidate set ~the whole corpus) but not
-    near-duplicates (pure topic-window sampling gives every passage of a
-    topic the same token SET, which no centroid-level pruning stage —
-    including reference-faithful PLAID — can discriminate)."""
+    ``n_topics`` vocabulary subsets and ~40% from the global vocabulary.
+    Real collections are topical (uniform-random tokens would make every
+    query's IVF candidate set ~the whole corpus) but not near-duplicates
+    (pure topic sampling gives every passage of a topic the same token SET,
+    which no centroid-level pruning stage — including reference-faithful
+    PLAID — can discriminate). With the default 64 topics, per-topic tie
+    counts grow linearly with n (the adversarial regime); pass
+    ``n_topics ~ n/64`` for scale-matched hardness."""
     rng = np.random.default_rng(7)
+    topics = [_topic_words(t, n_words, n_topics) for t in range(n_topics)]
     out = []
     for i in range(n):
-        words = _topic_words(i % N_TOPICS, n_words)
+        words = topics[i % n_topics]
         k = int(rng.integers(mean_words - 30, mean_words + 30))
         k_topic = int(k * 0.6)
         ids = np.concatenate([
@@ -168,11 +183,13 @@ def synthetic_passages(n: int, mean_words: int = 110, n_words: int = 2000) -> li
     return out
 
 
-def synthetic_queries(n: int, n_words: int = 2000) -> list[str]:
+def synthetic_queries(
+    n: int, n_words: int = 2000, n_topics: int = N_TOPICS
+) -> list[str]:
     rng = np.random.default_rng(11)
     out = []
     for i in range(n):
-        words = _topic_words(int(rng.integers(0, N_TOPICS)), n_words)
+        words = _topic_words(int(rng.integers(0, n_topics)), n_words, n_topics)
         out.append(" ".join(f"word{i:05d}" for i in rng.choice(words, size=8)))
     return out
 

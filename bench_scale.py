@@ -13,8 +13,17 @@ passages/s) — and reports:
   - funnel recall vs an exhaustive exact-codec oracle, and a
     self-retrieval probe with real relevance signal.
 
-Usage: ``python bench_scale.py [n_passages]`` (default 141431; a committed
-run log lives in SCALE.md). Prints one JSON summary line at the end.
+Usage: ``python bench_scale.py [n_passages] [scaled]`` (default 141431; a
+committed run log lives in SCALE.md). Prints one JSON summary line at the
+end.
+
+The default corpus keeps bench.py's 64 topics, so per-topic tie counts grow
+linearly with the corpus — the adversarial regime for centroid-level
+pruning (recall vs the exhaustive oracle is then construction-bound; the
+real-signal self-retrieval probe is the quality number). Passing ``scaled``
+grows topics with the corpus (``n/64`` topics over a 30k-word vocabulary),
+matching the 4k bench's per-topic hardness at any scale — the controlled
+experiment separating corpus-induced tie collapse from funnel loss.
 """
 
 from __future__ import annotations
@@ -66,19 +75,22 @@ def hbm_gb() -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 141_431
+    scaled = len(sys.argv) > 2 and sys.argv[2] == "scaled"
     from colbert_tpu.indexing.builder import Indexer
     from colbert_tpu.retrieval.searcher import Searcher
 
-    encoder, cfg = make_bench_encoder()
+    n_topics = max(64, n // 64) if scaled else 64
+    n_words = 30_000 if scaled else 2_000
+    encoder, cfg = make_bench_encoder(n_words=n_words)
     # at-scale serving capacities: auto cell_cap from the balanced IVF,
     # stage-2 budget at PLAID's operating point
     cfg.search_max_candidates = 8192
     cfg.chunksize = 25_000  # reference default at this corpus size
 
     t = time.time()
-    passages = synthetic_passages(n)
+    passages = synthetic_passages(n, n_words=n_words, n_topics=n_topics)
     log(f"synthesized {n} passages in {time.time() - t:.1f}s "
-        f"(topical corpus, ~110 words each)")
+        f"({n_topics} topics over {n_words} words, ~110 words each)")
 
     tmp = tempfile.mkdtemp()
     try:
@@ -110,7 +122,7 @@ def main() -> None:
             f"max_candidates={s.max_candidates}, "
             f"probe_dup_max={s.device_index.probe_dup_max}")
 
-        queries = synthetic_queries(192)
+        queries = synthetic_queries(192, n_words=n_words, n_topics=n_topics)
         for B in (32, 64):
             qps = _time_qps(s, queries, B)
             log(f"batched search (B={B}, warm, quality-first): {qps:.1f} QPS/chip")
@@ -127,7 +139,8 @@ def main() -> None:
         # funnel quality at scale: exhaustive oracle over ALL n passages
         import jax.numpy as jnp
 
-        Qe = jnp.asarray(s.encoder.encode_queries(list(synthetic_queries(16))))
+        Qe = jnp.asarray(s.encoder.encode_queries(list(
+            synthetic_queries(16, n_words=n_words, n_topics=n_topics))))
         t2 = time.time()
         oscores = exhaustive_scores(s, Qe)
         log(f"exhaustive oracle over {n} passages x 16 queries: "
