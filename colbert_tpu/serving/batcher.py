@@ -75,6 +75,14 @@ class BatchingSearcher:
         futs = [self.submit(q, k) for q in queries]
         return [f.result() for f in futs]
 
+    def swap(self, searcher) -> None:
+        """Atomically swap the underlying Searcher — zero-downtime index
+        updates: run :class:`~colbert_tpu.indexing.updater.IndexUpdater`,
+        construct a fresh ``Searcher`` over the updated artifacts, then
+        ``swap`` it in. The in-flight batch finishes on the old snapshot;
+        every later batch sees the new one."""
+        self.searcher = searcher  # read once per batch in _loop; atomic
+
     def close(self) -> None:
         self._closed = True
         self._wake.set()

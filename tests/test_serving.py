@@ -85,6 +85,31 @@ def test_batcher_mixed_k_and_error_recovery(served):
         b.submit("after close")
 
 
+def test_swap_serves_updated_index(served):
+    """Zero-downtime update flow: IndexUpdater mutates the artifacts, a
+    fresh Searcher loads them, batcher.swap() switches serving over without
+    dropping requests."""
+    from colbert_tpu.indexing.updater import IndexUpdater
+
+    passages, s = served
+    b = BatchingSearcher(s, max_batch=8, max_wait_ms=20)
+    try:
+        p0, _ = b.search(passages[3], k=2)
+        assert p0[0] == 3
+        fresh = "science history cooking travel music mountain river city"
+        new_pids = IndexUpdater(s.index_path, s.encoder).add([fresh])
+        # old snapshot keeps serving (doesn't know the new passage)
+        p_old, _ = b.search(passages[3], k=2)
+        assert p_old[0] == 3
+        b.swap(Searcher(s.index_path, encoder=s.encoder))
+        p_new, _ = b.search(fresh, k=2)
+        assert p_new[0] == new_pids[0]
+        p_keep, _ = b.search(passages[3], k=2)
+        assert p_keep[0] == 3
+    finally:
+        b.close()
+
+
 def test_http_server_roundtrip(served):
     passages, s = served
     server = make_server(s, port=0, max_batch=8, max_wait_ms=20)  # ephemeral port
