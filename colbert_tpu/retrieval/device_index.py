@@ -76,6 +76,37 @@ def balance_cells(
     return sub_lengths, sub_offsets, split_origin, int(nsub.max())
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows(buf: jax.Array, rows: jax.Array, offset: jax.Array) -> jax.Array:
+    """Donated in-place row write into a preallocated device buffer (no
+    concatenation transient; compiles once per chunk shape)."""
+    start = (offset,) + (jnp.int32(0),) * (rows.ndim - 1)
+    return jax.lax.dynamic_update_slice(buf, rows, start)
+
+
+def _stream_chunks_to_device(index_path: str, N: int, nbytes: int):
+    """Upload codes/residual chunks mmap -> HBM without ever holding the
+    packed index in host RAM (one chunk's pages at a time; buffers are
+    preallocated with the zeroed sentinel row at N)."""
+    from colbert_tpu.storage import format as fmt
+
+    codes_buf = jnp.zeros((N + 1,), jnp.uint32)
+    res_buf = jnp.zeros((N + 1, nbytes), jnp.uint8)
+    off = 0
+    for i in range(fmt.num_chunks(index_path)):
+        ch = fmt.load_chunk(index_path, i, mmap=True)
+        c = np.ascontiguousarray(ch["codes"], dtype=np.uint32)
+        r = np.ascontiguousarray(ch["residuals"], dtype=np.uint8)
+        codes_buf = _write_rows(codes_buf, jnp.asarray(c), jnp.int32(off))
+        res_buf = _write_rows(res_buf, jnp.asarray(r), jnp.int32(off))
+        off += len(c)
+    if off != N:
+        raise ValueError(
+            f"chunks under {index_path} hold {off} embeddings, doclens say {N}"
+        )
+    return codes_buf, res_buf
+
+
 @dataclass
 class DeviceIndex:
     """All index artifacts as device arrays, plus the jitted search program."""
@@ -116,14 +147,15 @@ class DeviceIndex:
         cls,
         *,
         centroids: np.ndarray,
-        codes: np.ndarray,
-        residuals: np.ndarray,
+        codes: np.ndarray | None = None,
+        residuals: np.ndarray | None = None,
         ivf: np.ndarray,
         ivf_lengths: np.ndarray,
         doclens: np.ndarray,
         bucket_weights: np.ndarray,
         nbits: int,
         balance_cap: int | None = None,
+        stream_from: str | None = None,
     ) -> "DeviceIndex":
         """``balance_cap`` splits IVF cells larger than the cap into at most
         ``MAX_CELL_DUP`` sub-cells whose probe centroids are duplicates of
@@ -138,18 +170,26 @@ class DeviceIndex:
         sentinel row (``len == doclens.sum() + 1``, as produced by
         ``format.load_all_*(extra_rows=1)``): they are then used in place —
         host RSS stays at ONE copy of the index instead of the concat+append
-        double it used to pay (~2x index size transient at MS MARCO scale)."""
+        double it used to pay (~2x index size transient at MS MARCO scale).
+
+        With ``stream_from`` (an index dir) instead of host arrays, chunks
+        are uploaded straight from their mmaps into preallocated device
+        buffers via donated in-place updates: host RSS never materializes
+        the packed index at all (only one chunk's pages at a time)."""
         doclens = np.asarray(doclens, np.int64)
         N = int(doclens.sum())
         P = len(doclens)
-        if len(codes) not in (N, N + 1) or len(residuals) != len(codes):
-            raise ValueError(
-                f"codes/residuals rows ({len(codes)}/{len(residuals)}) must be "
-                f"doclens.sum()={N} (+1 if sentinel-padded)"
-            )
+        if stream_from is None:
+            if len(codes) not in (N, N + 1) or len(residuals) != len(codes):
+                raise ValueError(
+                    f"codes/residuals rows ({len(codes)}/{len(residuals)}) must "
+                    f"be doclens.sum()={N} (+1 if sentinel-padded)"
+                )
+            nbytes = residuals.shape[1]
+        else:
+            nbytes = centroids.shape[1] // 8 * nbits
         sentinel_eid = N
         sentinel_pid = P
-        nbytes = residuals.shape[1]
 
         centroids = np.asarray(centroids, np.float32)
         ivf = np.asarray(ivf)
@@ -174,14 +214,18 @@ class DeviceIndex:
         else:
             probe_centroids = centroids
 
-        if len(codes) == N + 1:  # pre-padded by the loader; zeroed tail row
-            codes_p = np.ascontiguousarray(codes, dtype=np.uint32)
-            res_p = np.ascontiguousarray(residuals, dtype=np.uint8)
+        if stream_from is not None:
+            codes_dev, res_dev = _stream_chunks_to_device(stream_from, N, nbytes)
+        elif len(codes) == N + 1:  # pre-padded by the loader; zeroed tail row
+            codes_dev = jnp.asarray(np.ascontiguousarray(codes, dtype=np.uint32))
+            res_dev = jnp.asarray(np.ascontiguousarray(residuals, dtype=np.uint8))
         else:
             codes_p = np.zeros(N + 1, np.uint32)
             codes_p[:N] = codes
             res_p = np.zeros((N + 1, nbytes), np.uint8)
             res_p[:N] = residuals
+            codes_dev = jnp.asarray(codes_p)
+            res_dev = jnp.asarray(res_p)
 
         emb2pid = np.repeat(np.arange(P, dtype=np.int32), doclens.astype(np.int64))
         emb2pid = np.concatenate([emb2pid, np.asarray([sentinel_pid], np.int32)])
@@ -208,8 +252,8 @@ class DeviceIndex:
         return cls(
             centroids=jnp.asarray(centroids, jnp.float32),
             probe_centroids=jnp.asarray(probe_centroids, jnp.float32),
-            codes=jnp.asarray(codes_p),
-            residuals=jnp.asarray(res_p),
+            codes=codes_dev,
+            residuals=res_dev,
             ivf=jnp.asarray(ivf_pid),
             ivf_offsets=jnp.asarray(ivf_offsets),
             ivf_lengths=jnp.asarray(ivf_lengths, jnp.int32),

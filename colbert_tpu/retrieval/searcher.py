@@ -70,17 +70,16 @@ class Searcher:
         if self.backend == "device":
             from colbert_tpu.retrieval.device_index import DeviceIndex
 
-            # memory hygiene: chunks are mmap'd straight into ONE
-            # sentinel-padded host buffer (extra_rows=1) that DeviceIndex
-            # uses in place, and that single copy is dropped right after the
-            # HBM upload — peak host RSS is ~1x the index (the reference
-            # keeps the whole index in host RAM, loaders.jl:91-113).
+            # memory hygiene: codes/residual chunks stream mmap -> HBM via
+            # donated in-place buffer writes — host RSS never materializes
+            # the packed index at all, only one chunk's pages at a time
+            # (the reference keeps the whole index in host RAM,
+            # loaders.jl:91-113).
             bal = self.config.ivf_balance_cap
             balance_cap = 1024 if bal is None else (bal if bal > 0 else None)
             self.device_index = DeviceIndex.build(
                 centroids=np.asarray(self.centroids),
-                codes=fmt.load_all_codes(self.index_path, mmap=True, extra_rows=1),
-                residuals=fmt.load_all_residuals(self.index_path, mmap=True, extra_rows=1),
+                stream_from=self.index_path,
                 ivf=self.ivf,
                 ivf_lengths=self.ivf_lengths,
                 doclens=np.asarray(self.doclens, np.int64),

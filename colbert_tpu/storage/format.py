@@ -40,6 +40,7 @@ __all__ = [
     "load_all_residuals",
     "save_deleted",
     "load_deleted",
+    "num_chunks",
     "check_all_files_saved",
     "chunk_file_names",
 ]
@@ -223,6 +224,11 @@ def load_all_residuals(
     if out is None:
         raise FileNotFoundError(f"no residual chunks in {index_path}")
     return out
+
+
+def num_chunks(index_path: str) -> int:
+    """Chunk count from plan.json (public accessor for streaming loaders)."""
+    return _num_chunks(index_path)
 
 
 def save_deleted(index_path: str, pids: np.ndarray) -> None:

@@ -43,6 +43,35 @@ def test_device_search_single(built):
     assert (np.diff(scores[scores > -np.inf]) <= 1e-6).all()
 
 
+def test_streaming_build_equals_array_build(built):
+    """stream_from (mmap chunk -> donated HBM writes, no host index copy)
+    must produce a bit-identical device index to the host-array path."""
+    import jax.numpy as jnp
+
+    from colbert_tpu.retrieval.device_index import DeviceIndex
+    from colbert_tpu.storage import format as fmt
+
+    cfg, encoder, passages, path = built
+    s = Searcher(path, encoder=encoder)  # uses stream_from internally
+    codec = fmt.load_codec(path)
+    ivf, ivf_lengths = fmt.load_ivf(path)
+    arr = DeviceIndex.build(
+        centroids=codec["centroids"],
+        codes=fmt.load_all_codes(path, mmap=True, extra_rows=1),
+        residuals=fmt.load_all_residuals(path, mmap=True, extra_rows=1),
+        ivf=ivf, ivf_lengths=ivf_lengths,
+        doclens=np.asarray(s.doclens, np.int64),
+        bucket_weights=codec["bucket_weights"], nbits=cfg.nbits,
+        balance_cap=1024,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s.device_index.codes), np.asarray(arr.codes)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s.device_index.residuals), np.asarray(arr.residuals)
+    )
+
+
 def test_query_batch_bucketing(built):
     """Odd batch sizes pad to the next bucket (serving never retraces) and
     the padded rows must not perturb real queries' results."""
