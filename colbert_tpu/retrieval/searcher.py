@@ -1,10 +1,11 @@
 """Searcher: load an index, answer queries.
 
-Reference: src/searching.jl:18-128 (``Searcher`` + ``search``). Load pulls
-the codec + all codes/residuals into memory (device-resident centroids and
-bucket weights; codes/residuals live in host RAM and the candidate slices are
-shipped per query — index-shards-in-HBM is the multi-chip path, see
-:mod:`colbert_tpu.parallel`). Queries run batched end-to-end:
+Reference: src/searching.jl:18-128 (``Searcher`` + ``search``). The device
+backend streams codes/residual chunks mmap -> HBM (host RAM never holds the
+packed index; the reference loads everything into host RAM,
+loaders.jl:91-113); the host backend keeps the reference-shaped staged
+pipeline for debugging/parity; the sharded backend partitions over a mesh
+(see :mod:`colbert_tpu.parallel`). Queries run batched end-to-end:
 
     encode -> probe centroids (device top-k) -> IVF gather (host CSR)
     -> [optional PLAID centroid-only pruning] -> fused decompress+MaxSim
