@@ -114,10 +114,10 @@ def main() -> None:
 
         t1 = time.time()
         s = Searcher(tmp + "/idx", encoder=encoder)
-        log(f"searcher load (mmap chunks -> single host copy -> HBM): "
+        log(f"searcher load (chunks stream mmap -> HBM): "
             f"{time.time() - t1:.1f}s; peak host RSS {rss_gb():.2f} GB "
-            f"(single-copy load: peak RSS-overhead should be ~1x the "
-            f"{idx_bytes / 1e9:.2f} GB index), HBM {hbm_gb():.2f} GB")
+            f"(streaming load: the packed {idx_bytes / 1e9:.2f} GB index "
+            f"never lands in host RAM), HBM {hbm_gb():.2f} GB")
         log(f"static capacities: cell_cap={s.cell_cap}, "
             f"max_candidates={s.max_candidates}, "
             f"probe_dup_max={s.device_index.probe_dup_max}")
