@@ -10,6 +10,13 @@ Every single-query request goes through the
 :class:`~colbert_tpu.serving.batcher.BatchingSearcher`, so concurrent
 clients share device dispatches. The reference has no serving layer
 (README.md:179-190 roadmap).
+
+Measured under a 200-concurrent-client burst on the chip: zero errors and
+exact agreement with direct search, but end-to-end throughput is bounded by
+stdlib HTTP + GIL thread handling, not the device (the batcher coalesced
+the burst into 5 device dispatches). For performance-critical fronts, call
+:class:`BatchingSearcher` in process; this module is the wire-protocol
+reference.
 """
 
 from __future__ import annotations
@@ -81,7 +88,14 @@ def make_server(searcher, host: str = "127.0.0.1", port: int = 8080,
             except Exception as e:
                 self._reply(500, {"error": repr(e)})
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # the stdlib default accept backlog (5) RSTs concurrent bursts —
+        # found by a 200-client stress drive on the chip; batching fronts
+        # exist precisely to absorb such bursts
+        request_queue_size = 1024
+        daemon_threads = True
+
+    server = Server((host, port), Handler)
     server.batcher = batcher
     return server
 

@@ -85,6 +85,46 @@ def test_batcher_mixed_k_and_error_recovery(served):
         b.submit("after close")
 
 
+def test_http_concurrent_burst(served):
+    """A burst of concurrent clients must all be served (the stdlib accept
+    backlog of 5 RST'd bursts before request_queue_size was raised)."""
+    import urllib.error
+
+    passages, s = served
+    server = make_server(s, port=0, max_batch=64, max_wait_ms=30)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    results, errors = {}, []
+
+    def client(i):
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps({"query": passages[i % 40], "k": 2}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[i] = json.loads(r.read())
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append((i, repr(e)))
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(64)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors[:3]
+        assert len(results) == 64
+        for i in range(0, 64, 7):
+            assert results[i]["pids"][0] == i % 40
+        assert server.batcher.stats["max_batch_seen"] > 1
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
 def test_swap_serves_updated_index(served):
     """Zero-downtime update flow: IndexUpdater mutates the artifacts, a
     fresh Searcher loads them, batcher.swap() switches serving over without
