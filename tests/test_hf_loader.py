@@ -50,8 +50,11 @@ def _write_checkpoint(directory, params, cfg, *, fmt="safetensors"):
     else:
         import torch
 
-        torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
-                   os.path.join(directory, "pytorch_model.bin"))
+        # .copy(): jax-exported arrays can be non-writable and torch warns
+        torch.save(
+            {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+             for k, v in sd.items()},
+            os.path.join(directory, "pytorch_model.bin"))
 
 
 def _assert_params_equal(got, want):
