@@ -188,6 +188,14 @@ class Searcher:
     # Batches beyond the largest bucket run in largest-bucket chunks.
     QUERY_BATCH_BUCKETS = (1, 4, 8, 16, 32, 64, 128)
 
+    def reload(self) -> "Searcher":
+        """Fresh Searcher over the current on-disk artifacts — the read side
+        of :class:`~colbert_tpu.indexing.updater.IndexUpdater` changes
+        (this instance keeps serving its loaded snapshot). Pair with
+        ``serving.BatchingSearcher.swap`` for zero-downtime updates; the
+        encoder (and its compiled programs) are shared."""
+        return Searcher(self.index_path, encoder=self.encoder, backend=self.backend)
+
     def search(self, query: str, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         """-> (pids (k,), scores (k,)) for one query (reference searching.jl:93-128)."""
         pids, scores = self.search_batch([query], k)

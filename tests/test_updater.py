@@ -163,6 +163,20 @@ def test_compact_drops_rows_and_renumbers(built):
     np.testing.assert_array_equal(pid_map2, np.arange(45))
 
 
+def test_searcher_reload_sees_updates(built):
+    cfg, encoder, passages, path = built
+    s = Searcher(path, encoder=encoder)
+    n0 = len(s.doclens)
+    fresh = "science history cooking travel music mountain"
+    new_pids = IndexUpdater(path, encoder).add([fresh])
+    assert len(s.doclens) == n0  # the live snapshot is untouched
+    s2 = s.reload()
+    assert s2.encoder is s.encoder  # shared programs
+    assert len(s2.doclens) == n0 + 1
+    p, _ = s2.search(fresh, k=2)
+    assert p[0] == new_pids[0]
+
+
 def test_add_then_remove_roundtrip(built):
     cfg, encoder, passages, path = built
     up = IndexUpdater(path, encoder)
