@@ -30,7 +30,9 @@ def main() -> None:
     ap.add_argument("--doc-maxlen", type=int, default=300)
     ap.add_argument("--random-weights", action="store_true",
                     help="use a deterministic random bert-base model instead of "
-                         "loading the checkpoint (no checkpoint required)")
+                         "loading the checkpoint (no checkpoint required; "
+                         "its synthetic vocab is word00000-style tokens, so "
+                         "natural-language text tokenizes to [UNK])")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
