@@ -254,6 +254,14 @@ def main() -> None:
         build_pps = n / bt
         log(f"index build #2 (steady state): {n} passages in {bt:.1f}s "
             f"= {build_pps:.1f} p/s (baseline {BASELINE_BUILD_PASSAGES_PER_SEC})")
+        try:  # phase breakdown persisted by the build tracer (plan.json)
+            with open(tmp + "/idx/plan.json") as f:
+                timings = json.load(f).get("timings", {})
+            log("build phases: " + ", ".join(
+                f"{k} {v['seconds']:.2f}s" for k, v in sorted(timings.items())
+            ))
+        except Exception:
+            pass
 
         # secondary metrics must never break the headline: once the build
         # succeeded, any serving/quality failure is logged and the one
