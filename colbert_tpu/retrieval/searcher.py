@@ -67,6 +67,24 @@ class Searcher:
         # (updater._rebuild_ivf), which covers the device and host backends;
         # the sharded backend builds per-shard IVFs itself and gets the list
         self.deleted_pids = fmt.load_deleted(self.index_path)
+        # crash-consistency check: a process dying between an updater's plan
+        # write and its IVF rebuild leaves a stale IVF — embeddings exist on
+        # disk that no probe can reach. Detect and warn (rerun any
+        # IndexUpdater op, or rebuild, to repair).
+        dl64 = np.asarray(self.doclens, np.int64)
+        expected_entries = int(dl64.sum())
+        if len(self.deleted_pids):
+            expected_entries -= int(dl64[self.deleted_pids].sum())
+        ivf_entries = int(np.asarray(self.ivf_lengths, np.int64).sum())
+        if ivf_entries != expected_entries:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "IVF covers %d embeddings but chunks hold %d (minus "
+                "tombstones): the index looks torn mid-update — rerun an "
+                "IndexUpdater operation (or rebuild) to restore full recall",
+                ivf_entries, expected_entries,
+            )
 
         if self.backend == "device":
             from colbert_tpu.retrieval.device_index import DeviceIndex

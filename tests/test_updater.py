@@ -163,6 +163,30 @@ def test_compact_drops_rows_and_renumbers(built):
     np.testing.assert_array_equal(pid_map2, np.arange(45))
 
 
+def test_torn_update_detected(built, caplog):
+    """A crash between the updater's plan write and IVF rebuild leaves a
+    stale IVF; Searcher must warn (embeddings exist that no probe reaches)."""
+    import logging
+    import shutil
+
+    cfg, encoder, passages, path = built
+    shutil.copy(f"{path}/ivf.npy", f"{path}/ivf.stale.npy")
+    shutil.copy(f"{path}/ivf_lengths.npy", f"{path}/ivf_lengths.stale.npy")
+    IndexUpdater(path, encoder).add(["science history cooking travel"])
+    # simulate the torn state: plan + chunk written, IVF rebuild "lost"
+    shutil.move(f"{path}/ivf.stale.npy", f"{path}/ivf.npy")
+    shutil.move(f"{path}/ivf_lengths.stale.npy", f"{path}/ivf_lengths.npy")
+    with caplog.at_level(logging.WARNING):
+        Searcher(path, encoder=encoder)
+    assert any("torn mid-update" in r.message for r in caplog.records)
+    # repair: any updater op rebuilds the IVF
+    IndexUpdater(path, encoder).remove([0])
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        s = Searcher(path, encoder=encoder)
+    assert not any("torn mid-update" in r.message for r in caplog.records)
+
+
 def test_searcher_reload_sees_updates(built):
     cfg, encoder, passages, path = built
     s = Searcher(path, encoder=encoder)
