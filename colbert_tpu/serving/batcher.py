@@ -92,6 +92,12 @@ class BatchingSearcher:
         for r in pending:
             r.future.set_exception(RuntimeError("server closed"))
 
+    def __enter__(self) -> "BatchingSearcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # ------------------------------------------------------------------
 
     def _take_batch(self) -> list[_Request]:

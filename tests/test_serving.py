@@ -69,6 +69,15 @@ def test_batcher_coalesces_concurrent_requests(served):
         b.close()
 
 
+def test_batcher_context_manager(served):
+    passages, s = served
+    with BatchingSearcher(s, max_batch=4, max_wait_ms=10) as b:
+        p, _ = b.search(passages[6], k=2)
+        assert p[0] == 6
+    with pytest.raises(RuntimeError):
+        b.submit("closed on exit")
+
+
 def test_batcher_mixed_k_and_error_recovery(served):
     passages, s = served
     b = BatchingSearcher(s, max_batch=8, max_wait_ms=20)
