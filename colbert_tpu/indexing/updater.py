@@ -104,36 +104,45 @@ class IndexUpdater:
         """
         if not len(passages):
             return np.zeros((0,), np.int64)
+        passages = list(passages)
         plan = fmt.load_plan(self.index_path)
         codec = fmt.load_codec(self.index_path)
         centroids = jnp.asarray(codec["centroids"])
         cutoffs = jnp.asarray(codec["bucket_cutoffs"])
 
-        chunk_idx = int(plan["num_chunks"])
         passage_offset = int(plan["num_documents"])
-        codes, residuals, doclens = self.encoder.encode_passages_compressed(
-            list(passages), centroids, cutoffs, nbits=self.config.nbits
-        )
-        fmt.save_chunk(
-            self.index_path, chunk_idx,
-            codes=codes, residuals=residuals, doclens=doclens,
-            passage_offset=passage_offset,
-        )
-        plan["num_chunks"] = chunk_idx + 1
+        chunksize = int(plan.get("chunksize") or len(passages))
+        offsets = list(plan.get("embedding_offsets") or [])
+        n_embs = int(plan.get("num_embeddings", 0))
+        n_new_embs = 0
+        first_chunk = int(plan["num_chunks"])
+        # large additions split at the plan's chunksize, like the builder —
+        # chunks stay uniformly sized for streaming loads and resume logic
+        for lo in range(0, len(passages), chunksize):
+            batch = passages[lo : lo + chunksize]
+            codes, residuals, doclens = self.encoder.encode_passages_compressed(
+                batch, centroids, cutoffs, nbits=self.config.nbits
+            )
+            fmt.save_chunk(
+                self.index_path, int(plan["num_chunks"]),
+                codes=codes, residuals=residuals, doclens=doclens,
+                passage_offset=passage_offset + lo,
+            )
+            plan["num_chunks"] = int(plan["num_chunks"]) + 1
+            offsets.append(n_embs + n_new_embs)
+            n_new_embs += int(codes.shape[0])
         plan["num_documents"] = passage_offset + len(passages)
-        offsets = plan.get("embedding_offsets") or []
-        plan["embedding_offsets"] = offsets + [int(plan.get("num_embeddings", 0))]
-        plan["num_embeddings"] = int(
-            plan.get("num_embeddings", 0) + codes.shape[0]
-        )
+        plan["embedding_offsets"] = offsets
+        plan["num_embeddings"] = n_embs + n_new_embs
         fmt.save_plan(self.index_path, plan)
         self._rebuild_ivf(plan)
         new_pids = np.arange(
             passage_offset, passage_offset + len(passages), dtype=np.int64
         )
         logger.info(
-            "added %d passages (%d embeddings) as chunk %d; pids %d..%d",
-            len(passages), codes.shape[0], chunk_idx, new_pids[0], new_pids[-1],
+            "added %d passages (%d embeddings) as chunks %d..%d; pids %d..%d",
+            len(passages), n_new_embs, first_chunk,
+            int(plan["num_chunks"]) - 1, new_pids[0], new_pids[-1],
         )
         return new_pids
 

@@ -94,6 +94,24 @@ def test_add_passages_searchable(built):
     assert pids_old[0][0] == 3 and pids_old[1][0] == 40
 
 
+def test_large_add_splits_into_chunks(built):
+    """Additions bigger than the plan's chunksize split into uniform chunks
+    (like the builder), keeping streaming loads and resume logic uniform."""
+    cfg, encoder, passages, path = built
+    plan0 = fmt.load_plan(path)
+    assert plan0["chunksize"] == 24
+    extra = synthetic_collection(60, seed=13)  # 60 > 2 x 24 -> 3 new chunks
+    new_pids = IndexUpdater(path, encoder).add(extra)
+    plan1 = fmt.load_plan(path)
+    assert plan1["num_chunks"] == plan0["num_chunks"] + 3
+    assert plan1["num_documents"] == plan0["num_documents"] + 60
+    assert fmt.check_all_files_saved(path) == []
+    assert plan1["num_embeddings"] == int(fmt.load_all_doclens(path).sum())
+    s = Searcher(path, encoder=encoder)
+    pids, _ = s.search_batch([extra[0], extra[30], extra[59]], k=3)
+    np.testing.assert_array_equal(pids[:, 0], new_pids[[0, 30, 59]])
+
+
 def test_add_does_not_perturb_existing_scores(built):
     cfg, encoder, passages, path = built
     s_before = Searcher(path, encoder=encoder)
