@@ -24,7 +24,10 @@ from typing import Any
 @dataclass
 class ColBERTConfig:
     # -- run settings (reference config.jl:57-63) --
-    use_gpu: bool = True  # kept for config parity; on TPU this toggles device vs cpu jax backend
+    # parity-only (reference config.jl:13-14 "only supports one GPU"): the
+    # TPU build never reads it — device selection is JAX_PLATFORMS / the
+    # ambient jax backend, and multi-device runs attach a Mesh instead
+    use_gpu: bool = True
     rank: int = 0
     nranks: int = 1
 

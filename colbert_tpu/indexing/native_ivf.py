@@ -42,11 +42,15 @@ def _load() -> ctypes.CDLL | None:
         try:
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
                 os.makedirs(_BUILD_DIR, exist_ok=True)
+                # compile to a pid-unique temp and rename into place: a
+                # concurrent rank can never dlopen a half-written library
+                tmp = f"{_SO}.{os.getpid()}.tmp"
                 subprocess.run(
                     ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     _SRC, "-o", _SO],
+                     _SRC, "-o", tmp],
                     check=True, capture_output=True,
                 )
+                os.replace(tmp, _SO)
             lib = ctypes.CDLL(_SO)
             lib.build_ivf_counting.restype = ctypes.c_int
             lib.build_ivf_counting.argtypes = [

@@ -186,33 +186,42 @@ class IndexUpdater:
         if not len(deleted):
             return pid_map
 
-        new_chunks = []
+        # Rewrite chunk-by-chunk into a staging dir (mmap'd source, only the
+        # surviving rows materialize -> peak RSS is one chunk, not the index),
+        # then publish with renames only after the FULL pass succeeds. A crash
+        # before the rename loop leaves the live index untouched (tombstones
+        # intact, state fully repairable by re-running compact); the rename
+        # loop itself destroys no information the new chunks don't carry.
+        n_chunks = int(plan["num_chunks"])
+        tmp_dir = os.path.join(self.index_path, "compact_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        passage_offset = 0
+        total_embs = 0
+        offsets = []
         pid = 0
-        for ci in range(int(plan["num_chunks"])):
-            chunk = fmt.load_chunk(self.index_path, ci)
+        for ci in range(n_chunks):
+            chunk = fmt.load_chunk(self.index_path, ci, mmap=True)
             dl = chunk["doclens"].astype(np.int64)
             n = len(dl)
             keep = keep_mask[pid : pid + n]
             row_keep = np.repeat(keep, dl)
-            new_chunks.append((
-                chunk["codes"][row_keep],
-                chunk["residuals"][row_keep],
-                dl[keep],
-            ))
-            pid += n
-
-        passage_offset = 0
-        total_embs = 0
-        offsets = []
-        for ci, (codes, residuals, dl) in enumerate(new_chunks):
             fmt.save_chunk(
-                self.index_path, ci,
-                codes=codes, residuals=residuals,
-                doclens=dl, passage_offset=passage_offset,
+                tmp_dir, ci,
+                codes=chunk["codes"][row_keep],
+                residuals=chunk["residuals"][row_keep],
+                doclens=dl[keep], passage_offset=passage_offset,
             )
             offsets.append(total_embs)
-            passage_offset += len(dl)
-            total_embs += int(codes.shape[0])
+            passage_offset += int(keep.sum())
+            total_embs += int(row_keep.sum())
+            pid += n
+        for ci in range(n_chunks):
+            for name in fmt.chunk_file_names(ci):
+                os.replace(
+                    os.path.join(tmp_dir, name),
+                    os.path.join(self.index_path, name),
+                )
+        os.rmdir(tmp_dir)
         plan["num_documents"] = passage_offset
         plan["num_embeddings"] = total_embs
         plan["embedding_offsets"] = offsets

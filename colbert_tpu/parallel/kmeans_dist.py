@@ -22,6 +22,7 @@ from colbert_tpu.ops.kmeans import KMeansResult
 __all__ = ["kmeans_sharded", "lloyd_step_sharded", "assign_clusters_sharded"]
 
 
+@functools.lru_cache(maxsize=32)
 def _sharded_step_fn(mesh: Mesh, k: int, bsize: int):
     @functools.partial(
         jax.shard_map,
@@ -52,16 +53,23 @@ def lloyd_step_sharded(
     return _sharded_step_fn(mesh, k, bsize)(data, centroids, weights)
 
 
-def assign_clusters_sharded(
-    data: jax.Array, centroids: jax.Array, mesh: Mesh, *, bsize: int = 1024
-) -> jax.Array:
+@functools.lru_cache(maxsize=32)
+def _sharded_assign_fn(mesh: Mesh, bsize: int):
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(P("data"), P()), out_specs=P("data"), check_vma=False
     )
     def assign(data_local, cents):
         return kmeans_ops.assign_clusters(data_local, cents, bsize=bsize)
 
-    return jax.jit(assign)(data, centroids)
+    return jax.jit(assign)
+
+
+def assign_clusters_sharded(
+    data: jax.Array, centroids: jax.Array, mesh: Mesh, *, bsize: int = 1024
+) -> jax.Array:
+    """Sharded cluster assignment (jit + shard_map cached per mesh/bsize —
+    repeat calls reuse one compiled program, no per-call retrace)."""
+    return _sharded_assign_fn(mesh, bsize)(data, centroids)
 
 
 def kmeans_sharded(

@@ -19,9 +19,12 @@ All shapes are static (``nprobe``, per-cell cap, dedup capacity, stage-2
 ``ncandidates``, padded doc length, ``k``), so the pipeline compiles once
 per index geometry.
 
-HBM cost: codes 4B + residuals dim/8·nbits B per token (~36B at dim=128
-nbits=2) + a pid-valued IVF 4B — an 8.8M-passage MS MARCO index (~600M tokens)
-fits in a few GB.
+HBM cost (measured, SCALE.md): ~5.24 GB per 1M passages at dim=128 nbits=2
+(codes 4B + residuals 32B + pid-valued IVF 4B per token, plus probe tables).
+An 8.8M-passage MS MARCO index is therefore ~46 GB — beyond one 16 GB v5e;
+serve it with ``Searcher(backend="sharded")`` over a 3-4+ chip mesh
+(:mod:`colbert_tpu.parallel.sharded_index` splits cells round-robin and
+merges per-shard top-k).
 """
 
 from __future__ import annotations

@@ -41,11 +41,15 @@ def load_library() -> ctypes.CDLL | None:
         try:
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
                 os.makedirs(_BUILD_DIR, exist_ok=True)
+                # temp + atomic rename: concurrent ranks never dlopen a
+                # half-written library
+                tmp = f"{_SO}.{os.getpid()}.tmp"
                 subprocess.run(
                     ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-                     _SRC, "-o", _SO],
+                     _SRC, "-o", tmp],
                     check=True, capture_output=True,
                 )
+                os.replace(tmp, _SO)
             lib = ctypes.CDLL(_SO)
         except (OSError, subprocess.CalledProcessError) as e:
             logger.warning("native wordpiece unavailable: %s", e)

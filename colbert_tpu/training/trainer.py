@@ -161,14 +161,30 @@ class ColBERTTrainer:
     learning_rate: float = 3e-5
     weight_decay: float = 0.01
     in_batch_negatives: bool = True
-    optimizer: "object" = None  # optax transform; default adamw
+    warmup_steps: int = 0
+    total_steps: int | None = None  # with warmup: linear decay to 0 after it
+    max_grad_norm: float | None = 1.0
+    optimizer: "object" = None  # optax transform; default clip+adamw
 
     def __post_init__(self) -> None:
         import optax
 
         if self.optimizer is None:
-            self.optimizer = optax.adamw(
-                self.learning_rate, weight_decay=self.weight_decay
+            if self.warmup_steps and self.total_steps:
+                lr = optax.warmup_cosine_decay_schedule(
+                    0.0, self.learning_rate, self.warmup_steps, self.total_steps
+                )
+            elif self.warmup_steps:
+                lr = optax.linear_schedule(
+                    0.0, self.learning_rate, self.warmup_steps
+                )
+            else:
+                lr = self.learning_rate
+            adamw = optax.adamw(lr, weight_decay=self.weight_decay)
+            self.optimizer = (
+                optax.chain(optax.clip_by_global_norm(self.max_grad_norm), adamw)
+                if self.max_grad_norm is not None
+                else adamw
             )
         self.opt_state = self.optimizer.init(self.encoder.params)
         self._step = make_train_step(
@@ -217,7 +233,22 @@ class ColBERTTrainer:
         host = self._tensorize(triples)
         if teacher_scores is not None:
             host["teacher_scores"] = np.asarray(teacher_scores, np.float32)
-        batch = {k: jnp.asarray(v) for k, v in host.items()}
+        if self.encoder.mesh is not None:
+            # place batches sharded over the data axis so mesh DP actually
+            # engages through the public API (params stay replicated; XLA
+            # all-reduces the grads)
+            ndev = self.encoder.mesh.shape["data"]
+            if len(triples) % ndev:
+                raise ValueError(
+                    f"batch size {len(triples)} must divide the data axis "
+                    f"({ndev} devices) for mesh training"
+                )
+            batch = {
+                k: jax.device_put(np.asarray(v), self.encoder._data_sharding)
+                for k, v in host.items()
+            }
+        else:
+            batch = {k: jnp.asarray(v) for k, v in host.items()}
         self.encoder.params, self.opt_state, metrics = self._step(
             self.encoder.params, self.opt_state, batch
         )

@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("action", choices=["add", "remove", "compact"])
     ap.add_argument("items", nargs="*",
                     help="passages for add, pids for remove")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint dir (overrides the index config's)")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
@@ -36,7 +38,9 @@ def main() -> None:
     from colbert_tpu.models.hf_loader import load_checkpoint
 
     config = ColBERTConfig.load(os.path.join(args.index_dir, "config.json"))
-    bert_cfg, params, tokenizer = load_checkpoint(config.checkpoint)
+    bert_cfg, params, tokenizer = load_checkpoint(
+        args.checkpoint or config.checkpoint
+    )
     encoder = ColBERTEncoder(params, bert_cfg, tokenizer, config)
     updater = IndexUpdater(args.index_dir, encoder)
 
