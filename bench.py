@@ -195,6 +195,75 @@ def synthetic_queries(
     return out
 
 
+def device_mfu_stage(encoder) -> None:
+    """Device-program-only encode MFU at the standard S=128 bucket: how fast
+    the bf16 BERT forward itself runs, with the tunnel taken out of the
+    timing (the wall-clock encode numbers conflate the two — round-3 verdict
+    weak #6). Batches are pre-staged on device; one scalar read at the end
+    syncs the queued programs (block_until_ready is a no-op on the tunneled
+    backend — CLAUDE.md)."""
+    import jax
+
+    from colbert_tpu.models.colbert import encode_batch
+
+    if jax.default_backend() == "cpu":
+        log("device-only MFU probe skipped (cpu backend)")
+        return
+    passages = synthetic_passages(2048)
+    batches = [
+        (ids_d, mask_d, keep_d)
+        for _, ids, mask, keep in encoder._doc_batches(passages)
+        for ids_d, mask_d, keep_d in [encoder._put_batch(ids, mask, keep)]
+    ]
+    S = batches[0][0].shape[1]
+    tokens = sum(b[0].shape[0] * b[0].shape[1] for b in batches)
+
+    def run():
+        out = None
+        for ids_d, mask_d, keep_d in batches:
+            out = encode_batch(
+                encoder.params, ids_d, mask_d, keep_d,
+                cfg=encoder.bert_config,
+                dtype_name=encoder.config.activation_dtype,
+            )
+        float(out[0, 0, 0])
+
+    run()  # warm
+    t0 = time.time()
+    run()
+    dt = time.time() - t0
+    tput = tokens / dt
+    mfu = tput * BERT_BASE_GFLOP_PER_TOKEN / 1e3 / BF16_PEAK_TFLOPS
+    log(f"device-program-only encode @S={S}, B={batches[0][0].shape[0]}: "
+        f"{len(passages)/dt:.0f} p/s, {tput/1e3:.0f}k tokens/s = "
+        f"{mfu*100:.1f}% MFU (compute ceiling; the wall-clock encode number "
+        f"below rides the tunnel)")
+
+
+def host_backend_stage(encoder, tmp) -> None:
+    """North-star denominator: the reference-shaped host backend (staged
+    pipeline, host-side per-query IVF gather + CPU-orchestrated scoring —
+    searching.jl:93-128's shape) timed on the SAME index and queries, so the
+    BASELINE.md '>=10x QPS/chip' claim is a measured ratio, not a
+    free-floating number."""
+    from colbert_tpu.retrieval.searcher import Searcher
+
+    s_host = Searcher(tmp + "/idx", encoder=encoder, backend="host")
+    queries = synthetic_queries(64)
+    B = 32
+    s_host.search_batch(queries[:B], k=10)  # warm compiles
+    t0 = time.time()
+    for r in range(2):
+        s_host.search_batch(queries[r * B:(r + 1) * B], k=10)
+    host_qps = 2 * B / (time.time() - t0)
+    s_dev = Searcher(tmp + "/idx", encoder=encoder, backend="device")
+    dev_qps = _time_qps(s_dev, queries, B)
+    log(f"host backend (reference-shaped staged pipeline): {host_qps:.2f} QPS "
+        f"vs device backend {dev_qps:.1f} QPS at B={B} -> "
+        f"qps_vs_host_backend = {dev_qps/host_qps:.1f}x "
+        f"(north star: >=10x, BASELINE.md)")
+
+
 def encode_stages(encoder, passages) -> None:
     """Encode-throughput stages (non-headline): bf16 wire, int8 wire."""
     warm = passages[:512]
@@ -278,8 +347,10 @@ def main() -> None:
         # failures log to stderr and the process still exits 0
         for stage in (
             lambda: encode_stages(encoder, passages),
+            lambda: device_mfu_stage(encoder),
             flash_probe,
             lambda: serve_and_probe(encoder, cfg, tmp, passages, n),
+            lambda: host_backend_stage(encoder, tmp),
         ):
             try:
                 stage()

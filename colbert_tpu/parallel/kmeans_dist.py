@@ -14,7 +14,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from colbert_tpu.ops import kmeans as kmeans_ops
 from colbert_tpu.ops.kmeans import KMeansResult
@@ -88,6 +88,8 @@ def kmeans_sharded(
     convergence rule); the data is padded to the data-axis size with
     zero-weight rows and placed sharded on device once.
     """
+    from colbert_tpu.parallel import launch
+
     n, dim = data.shape
     ndev = mesh.shape["data"]
     if k > n:
@@ -98,13 +100,15 @@ def kmeans_sharded(
     data_np = np.zeros((padded, dim), np.float32)
     data_np[:n] = data
 
-    data_sh = jax.device_put(data_np, NamedSharding(mesh, P("data")))
-    weights_sh = jax.device_put(weights_np, NamedSharding(mesh, P("data")))
+    # multi-controller safe placement (launch helpers fall back to plain
+    # device_put in single-process runs)
+    data_sh = launch.put_data_sharded(data_np, mesh)
+    weights_sh = launch.put_data_sharded(weights_np, mesh)
 
     key = jax.random.PRNGKey(seed)
     idx = np.asarray(jax.random.permutation(key, n)[:k])
-    centroids = jax.device_put(
-        jnp.asarray(data[idx], jnp.float32), NamedSharding(mesh, P())
+    centroids = launch.put_replicated(
+        np.asarray(data[idx], np.float32), mesh
     )
 
     step = _sharded_step_fn(mesh, k, bsize)
@@ -116,4 +120,12 @@ def kmeans_sharded(
         if shift < tol:
             break
     assignments = assign_clusters_sharded(data_sh, centroids, mesh, bsize=bsize)
-    return KMeansResult(centroids, np.asarray(assignments)[:n], it, shift)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        assignments_np = multihost_utils.process_allgather(
+            assignments, tiled=True
+        )
+    else:
+        assignments_np = np.asarray(assignments)
+    return KMeansResult(centroids, assignments_np[:n], it, shift)

@@ -23,7 +23,7 @@ from typing import Tuple
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from colbert_tpu.retrieval.device_index import _search_core
 
@@ -67,11 +67,12 @@ class ShardedDeviceIndex:
         mesh: Mesh,
         *,
         centroids: np.ndarray,
-        codes: np.ndarray,
-        residuals: np.ndarray,
         doclens: np.ndarray,
         bucket_weights: np.ndarray,
         nbits: int,
+        codes: np.ndarray | None = None,
+        residuals: np.ndarray | None = None,
+        stream_from: str | None = None,
         balance_cap: int | None = None,
         deleted_pids: np.ndarray | None = None,
     ) -> "ShardedDeviceIndex":
@@ -80,14 +81,33 @@ class ShardedDeviceIndex:
         ``balance_cap`` splits oversized local cells per shard (see
         :func:`colbert_tpu.retrieval.device_index.balance_cells`).
         ``deleted_pids`` (IndexUpdater tombstones) are excluded from every
-        shard's local IVF, so their embeddings can never become candidates."""
+        shard's local IVF, so their embeddings can never become candidates.
+
+        Multi-controller aware (``parallel.launch``): each process builds
+        and uploads ONLY the shards whose devices it addresses, reading just
+        those rows from disk when ``stream_from`` (an index dir) is given
+        instead of in-memory ``codes``/``residuals`` — on a pod, no host
+        ever materializes (or even pages in) another host's shard."""
+        from colbert_tpu.indexing.updater import build_ivf_excluding
+        from colbert_tpu.parallel import launch
+        from colbert_tpu.retrieval.device_index import balance_cells
+        from colbert_tpu.storage import format as fmt
+
+        if (codes is None) == (stream_from is None):
+            raise ValueError("pass exactly one of codes/residuals or stream_from")
         ndev = mesh.shape["data"]
+        multihost = jax.process_count() > 1
         P_total = len(doclens)
         k = centroids.shape[0]
-        nbytes = residuals.shape[1]
+        nbytes = (
+            residuals.shape[1] if residuals is not None
+            else centroids.shape[1] // 8 * nbits
+        )
         emb_offsets_global = np.concatenate([[0], np.cumsum(doclens)]).astype(np.int64)
 
-        # contiguous passage ranges with ~equal embedding counts
+        # contiguous passage ranges with ~equal embedding counts; all
+        # paddings below derive from doclens (metadata every process has),
+        # so shapes agree across hosts without communication
         total_embs = int(doclens.sum())
         targets = [(s + 1) * total_embs / ndev for s in range(ndev)]
         bounds = [0]
@@ -95,25 +115,42 @@ class ShardedDeviceIndex:
             bounds.append(int(np.searchsorted(emb_offsets_global, tgt)))
         bounds.append(P_total)
         pid_base = np.asarray(bounds[:-1], np.int64)
+        Ps_max = max(1, max(bounds[s + 1] - bounds[s] for s in range(ndev)))
+        Ns_max = max(1, max(
+            int(emb_offsets_global[bounds[s + 1]] - emb_offsets_global[bounds[s]])
+            for s in range(ndev)
+        ))
 
         deleted_pids = (
             np.asarray(deleted_pids, np.int64)
             if deleted_pids is not None else np.zeros((0,), np.int64)
         )
-        shards = []
-        Ps_max, Ns_max = 1, 1
-        for s in range(ndev):
+        owned = launch.owned_data_shards(mesh) if multihost else list(range(ndev))
+        centroids = np.asarray(centroids, np.float32)
+
+        # pass 1 — per owned shard: slice rows, local IVF, balanced split.
+        # Pad rows of the probe table are UNSELECTABLE: each shard carries
+        # its valid-cell count and the search masks pad columns to -inf
+        # before top_k (a pad duplicating any real cell would tie with it
+        # and crowd distinct cells out of the probe slots).
+        shards: dict[int, tuple] = {}
+        K_per_shard = np.zeros(ndev, np.int64)
+        dup_per_shard = np.ones(ndev, np.int64)
+        for s in owned:
             p0, p1 = bounds[s], bounds[s + 1]
-            e0, e1 = emb_offsets_global[p0], emb_offsets_global[p1]
+            e0, e1 = int(emb_offsets_global[p0]), int(emb_offsets_global[p1])
             dl = doclens[p0:p1].astype(np.int32)
-            local_codes = codes[e0:e1].astype(np.uint32)
-            local_res = residuals[e0:e1]
+            if stream_from is not None:
+                local_codes, local_res = fmt.read_embedding_rows(
+                    stream_from, e0, e1
+                )
+            else:
+                local_codes = codes[e0:e1].astype(np.uint32)
+                local_res = residuals[e0:e1]
             # exclude tombstoned pids from the local IVF: their rows sort
             # into a virtual overflow cell past the last partition that no
-            # probe-table row addresses (updater.build_ivf_excluding — the
-            # native counting sort with numpy fallback)
-            from colbert_tpu.indexing.updater import build_ivf_excluding
-
+            # probe-table row addresses (native counting sort w/ numpy
+            # fallback)
             local_del = deleted_pids[(deleted_pids >= p0) & (deleted_pids < p1)]
             local_del_eids = np.concatenate([
                 np.arange(emb_offsets_global[p] - e0,
@@ -123,44 +160,45 @@ class ShardedDeviceIndex:
             ivf_local, ivf_len = build_ivf_excluding(
                 local_codes, k, local_del_eids
             )
-            shards.append((dl, local_codes, local_res, ivf_local, ivf_len))
-            Ps_max = max(Ps_max, len(dl))
-            Ns_max = max(Ns_max, len(local_codes))
-
-        # pad every shard to (Ps_max, Ns_max) and add sentinels (see
-        # DeviceIndex.build for the sentinel scheme)
-        from colbert_tpu.retrieval.device_index import balance_cells
-
-        centroids = np.asarray(centroids, np.float32)
-        # per-shard balanced split (lengths/offsets/origin); pad the probe
-        # tables to a common K' across shards. Pad rows are UNSELECTABLE:
-        # each shard carries its valid-cell count and the search masks pad
-        # columns to -inf before top_k (a pad duplicating any real cell would
-        # tie with it and crowd distinct cells out of the probe slots).
-        splits = []
-        probe_dup_max = 1
-        K_max = k
-        for _, _, _, _, ivf_len in shards:
             offs0 = np.concatenate([[0], np.cumsum(ivf_len)])[:-1]
             if balance_cap is not None and len(ivf_len) and (
                 int(ivf_len.max()) > balance_cap
             ):
                 sl, so, origin, dup = balance_cells(ivf_len, offs0, balance_cap)
-                probe_dup_max = max(probe_dup_max, dup)
+                dup_per_shard[s] = dup
             else:
                 sl = np.asarray(ivf_len, np.int32)
                 so = offs0.astype(np.int32)
                 origin = np.arange(len(ivf_len), dtype=np.int32)
-            splits.append((sl, so, origin))
-            K_max = max(K_max, len(sl))
+            shards[s] = (dl, local_codes, local_res, ivf_local, sl, so, origin)
+            K_per_shard[s] = len(sl)
 
-        A = {
-            "codes": [], "residuals": [], "ivf": [], "ivf_offsets": [],
-            "ivf_lengths": [], "doclens": [], "emb_offsets": [],
-            "probe_cents": [], "n_cells": [],
+        # probe-table width / dup bound must agree across hosts; a tiny
+        # host-level all-gather settles them (a shard replicated over the
+        # model axis may be built by several processes — deterministically
+        # identically, so max() is exact)
+        if multihost:
+            from jax.experimental import multihost_utils
+
+            K_per_shard = multihost_utils.process_allgather(
+                K_per_shard
+            ).reshape(-1, ndev).max(axis=0)
+            dup_per_shard = multihost_utils.process_allgather(
+                dup_per_shard
+            ).reshape(-1, ndev).max(axis=0)
+        K_max = int(max(k, K_per_shard.max()))
+        probe_dup_max = int(dup_per_shard.max())
+        min_ncells = int(K_per_shard.min())
+
+        # pass 2 — pad every owned shard to the agreed shapes and place it
+        # on ITS device(s)
+        A: dict[str, dict[int, np.ndarray]] = {
+            name: {} for name in (
+                "codes", "residuals", "ivf", "ivf_offsets", "ivf_lengths",
+                "doclens", "emb_offsets", "probe_cents", "n_cells",
+            )
         }
-        min_ncells = K_max
-        for (dl, lc, lr, ivf_local, ivf_len), (sl, so, origin) in zip(shards, splits):
+        for s, (dl, lc, lr, ivf_local, sl, so, origin) in shards.items():
             Ns, Ps = len(lc), len(dl)
             sent_eid, sent_pid = Ns_max, Ps_max
             codes_p = np.zeros(Ns_max + 1, np.uint32)
@@ -177,31 +215,40 @@ class ShardedDeviceIndex:
             offs[:Ps] = np.concatenate([[0], np.cumsum(dl[:-1])]) if Ps else 0
             dl_p = np.zeros(Ps_max + 1, np.int32)
             dl_p[:Ps] = dl
-            A["codes"].append(codes_p)
-            A["residuals"].append(res_p)
-            A["ivf"].append(ivf_p)
-            A["ivf_offsets"].append(_pad_to(so, K_max, 0))
-            A["ivf_lengths"].append(_pad_to(sl, K_max, 0))
-            A["probe_cents"].append(
-                centroids[_pad_to(origin, K_max, 0)]
-            )
-            A["n_cells"].append(np.asarray([len(sl)], np.int32))
-            min_ncells = min(min_ncells, len(sl))
-            A["doclens"].append(dl_p)
-            A["emb_offsets"].append(offs)
+            A["codes"][s] = codes_p
+            A["residuals"][s] = res_p
+            A["ivf"][s] = ivf_p
+            A["ivf_offsets"][s] = _pad_to(so, K_max, 0)
+            A["ivf_lengths"][s] = _pad_to(sl, K_max, 0)
+            A["probe_cents"][s] = centroids[_pad_to(origin, K_max, 0)]
+            A["n_cells"][s] = np.asarray([len(sl)], np.int32)
+            A["doclens"][s] = dl_p
+            A["emb_offsets"][s] = offs
 
-        dsh = lambda: NamedSharding(mesh, P("data"))
-        repl = NamedSharding(mesh, P())
+        tails = {
+            "codes": ((Ns_max + 1,), np.uint32),
+            "residuals": ((Ns_max + 1, nbytes), np.uint8),
+            "ivf": ((Ns_max + 1,), np.int32),
+            "ivf_offsets": ((K_max,), np.int32),
+            "ivf_lengths": ((K_max,), np.int32),
+            "doclens": ((Ps_max + 1,), np.int32),
+            "emb_offsets": ((Ps_max + 1,), np.int32),
+            "probe_cents": ((K_max, centroids.shape[1]), np.float32),
+            "n_cells": ((1,), np.int32),
+        }
         stacked = {
-            name: jax.device_put(np.stack(vals), dsh()) for name, vals in A.items()
+            name: launch.put_shard_stack(mesh, vals, *tails[name])
+            for name, vals in A.items()
         }
         max_doclen = int(doclens.max()) if P_total else 1
         max_doclen = max(32, -(-max_doclen // 32) * 32)
 
         return cls(
             mesh=mesh,
-            centroids=jax.device_put(centroids, repl),
-            bucket_weights=jax.device_put(np.asarray(bucket_weights, np.float32), repl),
+            centroids=launch.put_replicated(centroids, mesh),
+            bucket_weights=launch.put_replicated(
+                np.asarray(bucket_weights, np.float32), mesh
+            ),
             pid_base=pid_base,
             shard_passages=Ps_max,
             n_passages=P_total,
@@ -234,14 +281,17 @@ class ShardedDeviceIndex:
             ncandidates=ncand, cell_cap=cell_cap, max_candidates=max_candidates,
             centroid_threshold=centroid_threshold, stage1_refine=stage1_refine,
         )
-        repl = NamedSharding(self.mesh, P())
+        from colbert_tpu.parallel import launch
+
         local_pids, local_scores, _overflow = fn(
-            jax.device_put(Q, repl),
+            launch.put_replicated(np.asarray(Q, np.float32), self.mesh),
             self.centroids, self.probe_cents, self.codes, self.residuals,
             self.ivf, self.ivf_offsets, self.ivf_lengths,
             self.doclens, self.emb_offsets, self.bucket_weights, self.n_cells,
         )
-        # host merge: (D, B, k_local) -> global pids, top-k per query
+        # host merge of the all_gathered (D, B, k_local) tables -> global
+        # pids, top-k per query. The in-program all_gather makes the outputs
+        # fully replicated, so every pod host computes the same merge.
         lp = np.asarray(local_pids)     # (D, B, kl)
         ls = np.asarray(local_scores)
         D, B2, kl = lp.shape
@@ -281,7 +331,7 @@ def _sharded_search_fn_cached(mesh, static_items):
             P(),              # bucket_weights
             P("data"),        # n_cells (valid probe rows per shard)
         ),
-        out_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
     def search(Q, centroids, probe_cents, codes, residuals, ivf,
@@ -297,6 +347,14 @@ def _sharded_search_fn_cached(mesh, static_items):
             )
 
         pids, scores, overflow = jax.vmap(one)(Q)   # (B, k)
-        return pids[None], scores[None], overflow[None]  # re-add device axis
+        # all_gather the tiny per-shard top-k tables (D*B*k ids+scores —
+        # bytes, rides ICI/DCN): outputs land fully replicated, so the host
+        # merge needs no cross-process transfer and every pod host returns
+        # identical results
+        return (
+            jax.lax.all_gather(pids, "data"),      # (D, B, k)
+            jax.lax.all_gather(scores, "data"),
+            jax.lax.all_gather(overflow, "data"),
+        )
 
     return jax.jit(search)

@@ -118,11 +118,13 @@ class Searcher:
             )
             bal = self.config.ivf_balance_cap
             balance_cap = 1024 if bal is None else (bal if bal > 0 else None)
+            # stream_from: each shard's rows are read straight from the
+            # covering chunk mmaps — on a multi-host pod every process
+            # loads ONLY its own shards (parallel.launch)
             self.sharded_index = ShardedDeviceIndex.build(
                 self.mesh,
                 centroids=np.asarray(self.centroids),
-                codes=fmt.load_all_codes(self.index_path, mmap=True),
-                residuals=fmt.load_all_residuals(self.index_path, mmap=True),
+                stream_from=self.index_path,
                 doclens=np.asarray(self.doclens, np.int64),
                 bucket_weights=np.asarray(self.bucket_weights),
                 nbits=self.config.nbits,

@@ -41,6 +41,7 @@ __all__ = [
     "save_deleted",
     "load_deleted",
     "num_chunks",
+    "read_embedding_rows",
     "check_all_files_saved",
     "chunk_file_names",
 ]
@@ -149,7 +150,11 @@ def load_plan(index_path: str) -> dict:
 
 
 def save_ivf(index_path: str, ivf: np.ndarray, ivf_lengths: np.ndarray) -> None:
-    np.save(os.path.join(index_path, "ivf.npy"), np.asarray(ivf, np.int64))
+    # int32 eids when they fit (corpora < 2^31 embeddings — MS MARCO is
+    # ~600M): halves the on-disk IVF and the loader's host copy
+    ivf = np.asarray(ivf)
+    dtype = np.int32 if (len(ivf) == 0 or int(ivf.max()) < 2**31) else np.int64
+    np.save(os.path.join(index_path, "ivf.npy"), ivf.astype(dtype, copy=False))
     np.save(os.path.join(index_path, "ivf_lengths.npy"), np.asarray(ivf_lengths, np.int32))
 
 
@@ -229,6 +234,35 @@ def load_all_residuals(
 def num_chunks(index_path: str) -> int:
     """Chunk count from plan.json (public accessor for streaming loaders)."""
     return _num_chunks(index_path)
+
+
+def read_embedding_rows(index_path: str, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rows [lo, hi) of the global (codes, residuals) arrays, assembled from
+    the covering chunk mmaps only — a multi-host loader primitive: each pod
+    host reads JUST its shard's rows (pages) instead of the whole index.
+    Requires plan.json's ``embedding_offsets`` (written by every builder)."""
+    plan = load_plan(index_path)
+    offsets = list(plan["embedding_offsets"]) + [int(plan["num_embeddings"])]
+    if not (0 <= lo <= hi <= offsets[-1]):
+        raise ValueError(f"rows [{lo}, {hi}) outside [0, {offsets[-1]})")
+    codes_parts, res_parts = [], []
+    for ci in range(int(plan["num_chunks"])):
+        c0, c1 = offsets[ci], offsets[ci + 1]
+        if c1 <= lo or c0 >= hi:
+            continue
+        s, e = max(lo, c0) - c0, min(hi, c1) - c0
+        codes_parts.append(np.load(
+            os.path.join(index_path, f"{ci}.codes.npy"), mmap_mode="r")[s:e])
+        res_parts.append(np.load(
+            os.path.join(index_path, f"{ci}.residuals.npy"), mmap_mode="r")[s:e])
+    if not codes_parts:
+        nbytes_probe = np.load(
+            os.path.join(index_path, "0.residuals.npy"), mmap_mode="r"
+        ).shape[1] if int(plan["num_chunks"]) else 0
+        return (np.zeros((0,), np.uint32), np.zeros((0, nbytes_probe), np.uint8))
+    codes = np.concatenate([np.asarray(p, np.uint32) for p in codes_parts])
+    residuals = np.concatenate([np.asarray(p, np.uint8) for p in res_parts])
+    return codes, residuals
 
 
 def save_deleted(index_path: str, pids: np.ndarray) -> None:
