@@ -377,28 +377,35 @@ def exhaustive_scores(s, Q) -> np.ndarray:
     """Exact-codec oracle: decompress+MaxSim EVERY passage (no funnel) ->
     (B, P) scores. This scores what the reference scores when its probes
     surface everything (ranking.jl:23-87) and is the yardstick the funnel's
-    recall is measured against."""
+    recall is measured against.
+
+    Streams one contiguous pid block's rows at a time from the chunk mmaps
+    (``format.read_embedding_rows``) — host RSS stays at one block, not the
+    whole packed index (the pre-round-4 double-load owned the 19 GB RSS
+    peak of the 1M oracle run)."""
     import jax.numpy as jnp
 
     from colbert_tpu.retrieval import ranking
     from colbert_tpu.storage import format as fmt
 
-    codes = fmt.load_all_codes(s.index_path)
-    residuals = fmt.load_all_residuals(s.index_path)
     doclens = np.asarray(s.doclens, np.int64)
-    offsets = np.concatenate([[0], np.cumsum(doclens[:-1])]).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(doclens)]).astype(np.int64)
     P = len(doclens)
     scores = np.full((Q.shape[0], P), -np.inf, np.float32)
     CH = 1024
     for lo in range(0, P, CH):
-        pids = np.arange(lo, min(P, lo + CH))
-        idx, mask = ranking.gather_padded(pids, doclens, offsets)
+        hi = min(P, lo + CH)
+        r0, r1 = int(offsets[lo]), int(offsets[hi])
+        codes_blk, res_blk = fmt.read_embedding_rows(s.index_path, r0, r1)
+        idx, mask = ranking.gather_padded(
+            np.arange(hi - lo), doclens[lo:hi], offsets[lo:hi] - r0
+        )
         sc = ranking.score_full(
-            Q, jnp.asarray(codes[idx]), jnp.asarray(residuals[idx]),
+            Q, jnp.asarray(codes_blk[idx]), jnp.asarray(res_blk[idx]),
             jnp.asarray(mask), s.centroids, s.bucket_weights,
             nbits=s.config.nbits,
         )
-        scores[:, lo:lo + len(pids)] = np.asarray(sc)[:, :len(pids)]
+        scores[:, lo:hi] = np.asarray(sc)[:, :hi - lo]
     return scores
 
 

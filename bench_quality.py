@@ -1,0 +1,193 @@
+"""Funnel quality in a regime where it is MEASURABLE: train margins into
+the embedding space, rebuild the index, then funnel recall vs exhaustive.
+
+Round-3 finding (SCALE.md "scale-matched topic hardness"): with random
+weights the exhaustive oracle's top-k at 141k+ is tie-dominated (corpus
+geometry), so funnel recall measured against it says nothing about the
+funnel. This experiment closes that gap with the in-repo trainer
+(reference protocol being reproduced: examples/AIHelpMe/evals.jl:29-43 —
+retrieval quality against a ground-truth signal):
+
+  1. fine-tune the bench ColBERT on (prefix-query, passage, SAME-topic
+     negative) triples — within-topic hard negatives force per-passage
+     margins, exactly the structure real relevance training produces;
+  2. rebuild the index at the requested scale with the trained encoder;
+  3. report the oracle's margin (top1-top10 spread must be >> tie noise)
+     and funnel recall@10/@100 vs the exhaustive exact-codec oracle across
+     the bench's operating points, plus self-retrieval success@1.
+
+Usage: ``python bench_quality.py [n_passages] [train_steps]``
+(defaults 141431, 300). Prints one JSON summary line; committed run log in
+SCALE.md §quality.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+from bench import (
+    N_TOPICS,
+    _recall,
+    _score_recall,
+    exhaustive_scores,
+    log,
+    make_bench_encoder,
+    synthetic_passages,
+)
+
+
+def make_triples(
+    passages: list[str], n: int, *, n_topics: int = N_TOPICS, seed: int = 0,
+    prefix_chars: int = 200,
+) -> list[tuple[str, str, str]]:
+    """(query, positive, negative): query = the positive's prefix, negative
+    = a DIFFERENT passage of the SAME topic (bench corpus assigns topics
+    round-robin: passage i belongs to topic i % n_topics). Same-topic
+    negatives are the hard case — they share ~60% of their vocabulary with
+    the positive, so the encoder must learn per-passage margins, not topic
+    membership."""
+    rng = np.random.default_rng(seed)
+    P = len(passages)
+    out = []
+    for _ in range(n):
+        i = int(rng.integers(0, P))
+        j = int(rng.integers(0, P // n_topics)) * n_topics + i % n_topics
+        while j == i or j >= P:
+            j = int(rng.integers(0, P // n_topics)) * n_topics + i % n_topics
+        out.append((passages[i][:prefix_chars], passages[i], passages[j]))
+    return out
+
+
+def train_encoder(encoder, passages, *, steps: int, batch_size: int = 32,
+                  seed: int = 0) -> dict:
+    from colbert_tpu.training.trainer import ColBERTTrainer
+
+    trainer = ColBERTTrainer(
+        encoder, learning_rate=3e-5, warmup_steps=min(20, steps // 5),
+        total_steps=steps, in_batch_negatives=True,
+    )
+    triples = make_triples(passages, steps * batch_size, seed=seed)
+    t0 = time.time()
+    for step in range(steps):
+        batch = triples[step * batch_size:(step + 1) * batch_size]
+        m = trainer.train_step(batch)
+        if step < 3 or (step + 1) % 25 == 0:
+            log(f"  step {step + 1:4d}: loss {m['loss']:.4f} "
+                f"acc {m['pairwise_acc']:.3f} margin {m['margin']:.3f}")
+    dt = time.time() - t0
+    last = trainer.history[-1]
+    acc_tail = float(np.mean(
+        [h["pairwise_acc"] for h in trainer.history[-20:]]
+    ))
+    log(f"trained {steps} steps x {batch_size} triples in {dt:.1f}s "
+        f"({steps / dt:.2f} steps/s); tail-20 pairwise acc {acc_tail:.3f}")
+    return {"steps": steps, "train_seconds": round(dt, 1),
+            "final_loss": round(last["loss"], 4),
+            "tail_acc": round(acc_tail, 4),
+            "final_margin": round(last["margin"], 4)}
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 141_431
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+    import jax.numpy as jnp
+
+    from colbert_tpu.indexing.builder import Indexer
+    from colbert_tpu.retrieval.searcher import Searcher
+
+    encoder, cfg = make_bench_encoder()
+    cfg.chunksize = 25_000
+    cfg.search_max_candidates = 8192
+    passages = synthetic_passages(n)
+    log(f"corpus: {n} passages, {N_TOPICS} topics")
+
+    train_stats = train_encoder(encoder, passages, steps=steps)
+
+    tmp = tempfile.mkdtemp()
+    try:
+        t0 = time.time()
+        Indexer(cfg, encoder=encoder, collection=passages).index(tmp + "/idx")
+        build_s = time.time() - t0
+        log(f"index rebuilt with trained encoder: {build_s:.1f}s "
+            f"= {n / build_s:.1f} p/s")
+        s = Searcher(tmp + "/idx", encoder=encoder)
+
+        # eval queries: passage prefixes (the training distribution) over a
+        # spread of pids; ground truth for self-retrieval is the pid itself
+        probe = list(range(0, n, max(1, n // 32)))[:32]
+        queries = [passages[i][:200] for i in probe]
+        Qe = jnp.asarray(encoder.encode_queries(queries))
+
+        t1 = time.time()
+        oscores = exhaustive_scores(s, Qe)
+        log(f"exhaustive oracle over {n} x {len(probe)} queries: "
+            f"{time.time() - t1:.1f}s")
+        osorted = -np.sort(-oscores, axis=1)
+        margin_1_10 = float(np.mean(osorted[:, 0] - osorted[:, 9]))
+        margin_10_100 = float(np.mean(osorted[:, 9] - osorted[:, 99]))
+        log(f"oracle margins (trained space): top1-top10 {margin_1_10:.3f}, "
+            f"top10-top100 {margin_10_100:.3f} "
+            f"(tie threshold ~0.01: recall@k is now a funnel property)")
+        oracle = np.argsort(-oscores, axis=1)[:, :100]
+        s1_oracle = float(np.mean(
+            [oracle[b, 0] == probe[b] for b in range(len(probe))]
+        ))
+
+        kw = dict(k=100, cell_cap=s.cell_cap, max_candidates=s.max_candidates,
+                  use_pallas=s._stage2_pallas)
+        nprobe_c = cfg.nprobe + s.device_index.probe_dup_max - 1
+        points = {
+            "quality-first": dict(
+                nprobe=nprobe_c,
+                ncandidates=cfg.plaid_stage2_docs or max(16 * 100, 1024),
+                centroid_threshold=cfg.centroid_score_threshold,
+                stage1_refine=True),
+            "throughput-tuned (ncand=512, no refine)": dict(
+                nprobe=cfg.nprobe, ncandidates=512,
+                centroid_threshold=cfg.centroid_score_threshold,
+                stage1_refine=False),
+            "tight (ncand=128)": dict(
+                nprobe=nprobe_c, ncandidates=128,
+                centroid_threshold=cfg.centroid_score_threshold,
+                stage1_refine=True),
+        }
+        recalls = {}
+        for name, p in points.items():
+            pids_b, _ = s.device_index.search_Q_batch(Qe, **p, **kw)
+            pids_np = np.asarray(pids_b)
+            r10 = _recall(pids_np, oracle, 10)
+            r100 = _recall(pids_np, oracle, 100)
+            sr10 = _score_recall(pids_np, oscores, 10)
+            recalls[name] = (r10, r100, sr10)
+            log(f"funnel recall vs exhaustive [{name}]: set@10 {r10:.3f} / "
+                f"@100 {r100:.3f}; score@10 {sr10:.3f}")
+
+        pp, _ = s.search_batch(queries, k=3)
+        s1 = float(np.mean([pp[b][0] == probe[b] for b in range(len(probe))]))
+        log(f"self-retrieval success@1: funnel {s1:.3f} vs oracle {s1_oracle:.3f}")
+
+        qf = recalls["quality-first"]
+        print(json.dumps({
+            "metric": "trained_funnel_recall_at_10",
+            "n_passages": n,
+            "value": round(qf[0], 3),
+            "unit": "set-recall@10 vs exhaustive",
+            "recall_at_100": round(qf[1], 3),
+            "score_recall_at_10": round(qf[2], 3),
+            "oracle_margin_top1_top10": round(margin_1_10, 3),
+            "self_retrieval_s1": s1,
+            "train": train_stats,
+            "build_seconds": round(build_s, 1),
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
