@@ -606,8 +606,7 @@ def _search_core(
         w_pids = jnp.where(w_vals > NEG / 2, p2[w_idx], sentinel_pid)
         w_tok_idx, w_tok_valid = tok_gather(w_pids)
         # the refine scores tokens by their CODEC centroid ids
-        cscores = jnp.dot(Q, centroids.T, preferred_element_type=jnp.float32)
-        approx = _approx_maxsim(cscores, codes, w_tok_idx, w_tok_valid)
+        approx = _approx_maxsim(Q, centroids, codes, w_tok_idx, w_tok_valid)
         approx = jnp.where(w_pids == sentinel_pid, NEG, approx)
         _, keep_rows = jax.lax.top_k(approx, ncandidates)
         fin_pids = w_pids[keep_rows]
@@ -631,14 +630,23 @@ def _search_core(
     return fin_pids[top_rows], top_scores, overflow
 
 
-def _approx_maxsim(cscores, codes, tok_idx, tok_valid, *, chunk: int = 256):
-    """Full centroid-interaction approximation: sum_q max_t cscores[q,
-    code(token t)] over valid tokens, chunked. Used by the hybrid stage-1
-    refine — the (Lq, chunk, Ld) score gather is the expensive part (TPU
-    scalar gathers), so the table is gathered in bf16 and the row count is
-    kept to 4x the stage-2 budget."""
+def _approx_maxsim(Q, centroids, codes, tok_idx, tok_valid, *, chunk: int = 256):
+    """Full centroid-interaction approximation: sum_q max_t <q, cent[code(t)]>
+    over valid tokens, chunked.
+
+    Formulated as a SHARED-table row gather + MXU matmul: gather each
+    candidate token's centroid row (bf16) from the replicated codec table,
+    then one (chunk·Ld, dim) x (dim, Lq) matmul per chunk. The previous
+    formulation gathered from a per-query (Lq, k) score table — that table
+    carries the vmap batch dim, and XLA lowers a batched-operand gather
+    ~20x slower than the same gather from a shared table (measured on v5e:
+    refine 2.2 s -> ~0.2 s per B=64 batch at 141k). Bf16 rows round the
+    approximation by ~1e-2 relative — it is a pruning score, and the 4x
+    selection window absorbs that noise."""
     MC, Ld = tok_idx.shape
-    cs16 = cscores.astype(jnp.bfloat16)
+    Lq, dim = Q.shape
+    cent16 = centroids.astype(jnp.bfloat16)
+    q16 = Q.astype(jnp.bfloat16)
     nchunks = max(1, -(-MC // chunk))
     padded = nchunks * chunk
     idx_p = jnp.pad(tok_idx, ((0, padded - MC), (0, 0))).reshape(nchunks, chunk, Ld)
@@ -646,13 +654,15 @@ def _approx_maxsim(cscores, codes, tok_idx, tok_valid, *, chunk: int = 256):
 
     def one(args):
         ti, v = args
-        c = codes[ti].astype(jnp.int32)          # (chunk, Ld)
-        s = cs16[:, c].astype(jnp.float32)        # (Lq, chunk, Ld)
-        s = jnp.where(v[None], s, NEG)
-        per_q = jnp.max(s, axis=-1)               # (Lq, chunk)
-        any_tok = jnp.any(v, axis=-1)[None]
+        flat = ti.reshape(chunk * Ld)
+        rows = cent16[codes[flat].astype(jnp.int32)]      # (chunk*Ld, dim)
+        s = jnp.dot(rows, q16.T, preferred_element_type=jnp.float32)
+        s = s.reshape(chunk, Ld, Lq)
+        s = jnp.where(v[:, :, None], s, NEG)
+        per_q = jnp.max(s, axis=1)                        # (chunk, Lq)
+        any_tok = jnp.any(v, axis=-1)[:, None]
         per_q = jnp.where(any_tok, per_q, 0.0)
-        return jnp.sum(per_q, axis=0)             # (chunk,)
+        return jnp.sum(per_q, axis=-1)                    # (chunk,)
 
     out = jax.lax.map(one, (idx_p, valid_p))
     return out.reshape(padded)[:MC]
