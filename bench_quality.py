@@ -68,6 +68,11 @@ def train_encoder(encoder, passages, *, steps: int, batch_size: int = 32,
                   seed: int = 0) -> dict:
     from colbert_tpu.training.trainer import ColBERTTrainer
 
+    # train at the corpus's actual length (~110-140 tokens): the trainer
+    # pads docs to doc_maxlen, and bench's 300 would pay 2x attention cost
+    # for padding (restored before indexing below)
+    doc_maxlen_full = encoder.config.doc_maxlen
+    encoder.config.doc_maxlen = min(192, doc_maxlen_full)
     trainer = ColBERTTrainer(
         encoder, learning_rate=3e-5, warmup_steps=min(20, steps // 5),
         total_steps=steps, in_batch_negatives=True,
@@ -85,6 +90,7 @@ def train_encoder(encoder, passages, *, steps: int, batch_size: int = 32,
     acc_tail = float(np.mean(
         [h["pairwise_acc"] for h in trainer.history[-20:]]
     ))
+    encoder.config.doc_maxlen = doc_maxlen_full
     log(f"trained {steps} steps x {batch_size} triples in {dt:.1f}s "
         f"({steps / dt:.2f} steps/s); tail-20 pairwise acc {acc_tail:.3f}")
     return {"steps": steps, "train_seconds": round(dt, 1),
@@ -150,6 +156,11 @@ def main() -> None:
                 stage1_refine=True),
             "throughput-tuned (ncand=512, no refine)": dict(
                 nprobe=cfg.nprobe, ncandidates=512,
+                centroid_threshold=cfg.centroid_score_threshold,
+                stage1_refine=False),
+            "no refine, nprobe+2 (refine-vs-probes tradeoff)": dict(
+                nprobe=nprobe_c + 2, ncandidates=cfg.plaid_stage2_docs
+                or max(16 * 100, 1024),
                 centroid_threshold=cfg.centroid_score_threshold,
                 stage1_refine=False),
             "tight (ncand=128)": dict(

@@ -57,10 +57,11 @@ def _forward_normalized(
     cfg: BertConfig,
     dtype_name: str,
     use_flash: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     hidden = bert_encode(
         params["bert"], input_ids, attention_mask, cfg=cfg, dtype_name=dtype_name,
-        use_flash=use_flash,
+        use_flash=use_flash, remat=remat,
     )
     lin = params["linear"]
     # project in the activation dtype (MXU-friendly), accumulate fp32
@@ -79,7 +80,8 @@ def _forward_normalized(
     return emb / jnp.sqrt(jnp.maximum(sq, 1e-24))
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype_name", "use_flash", "out_dtype_name"))
+@partial(jax.jit, static_argnames=("cfg", "dtype_name", "use_flash",
+                                   "out_dtype_name", "remat"))
 def encode_batch(
     params: ColBERTParams,
     input_ids: jax.Array,
@@ -90,6 +92,7 @@ def encode_batch(
     dtype_name: str = "bfloat16",
     use_flash: bool = False,
     out_dtype_name: str = "float32",
+    remat: bool = False,
 ) -> jax.Array:
     """Shared doc/query forward -> normalized embeddings ``(B, L, dim)``.
 
@@ -110,7 +113,7 @@ def encode_batch(
     """
     emb = _forward_normalized(
         params, input_ids, attention_mask, keep_mask, cfg=cfg, dtype_name=dtype_name,
-        use_flash=use_flash,
+        use_flash=use_flash, remat=remat,
     )
     if out_dtype_name == "int8":
         return jnp.clip(jnp.round(emb * 127.0), -127, 127).astype(jnp.int8)

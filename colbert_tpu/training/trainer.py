@@ -103,9 +103,12 @@ def make_train_step(
     def loss_fn(params: ColBERTParams, batch: dict) -> Tuple[jax.Array, dict]:
         B = batch["q_ids"].shape[0]
         q_keep = jnp.ones_like(batch["q_mask"])  # queries keep all positions
+        # remat: checkpoint each BERT layer so the backward recomputes
+        # activations instead of holding 12 layers of attention temps (a
+        # bert-base step at B=32 triples, S~300 otherwise needs 22.6 GB)
         Q = encode_batch(
             params, batch["q_ids"], batch["q_mask"], q_keep,
-            cfg=bert_cfg, dtype_name=dtype_name,
+            cfg=bert_cfg, dtype_name=dtype_name, remat=True,
         )
         # one fused doc forward over [positives; negatives]
         d_ids = jnp.concatenate([batch["pos_ids"], batch["neg_ids"]])
@@ -113,6 +116,7 @@ def make_train_step(
         d_keep = jnp.concatenate([batch["pos_keep"], batch["neg_keep"]])
         D = encode_batch(
             params, d_ids, d_mask, d_keep, cfg=bert_cfg, dtype_name=dtype_name,
+            remat=True,
         )
         Dp, Dn = D[:B], D[B:]
         kp, kn = d_keep[:B], d_keep[B:]
