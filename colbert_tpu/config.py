@@ -132,6 +132,11 @@ class ColBERTConfig:
     # change the scored set and costs nothing (short-circuited). On small
     # corpora, widening plaid_stage2_docs to search_max_candidates beats
     # refining a narrower cut on BOTH axes.
+    # Round-4, 141k TRAINED encoder (bench_quality.py, SCALE.md): refine on
+    # and "refine off + nprobe+2" tie at set-recall@10 0.997; refine wins
+    # at depth (@100: 0.993 vs 0.983) and both cost ~the same ms/batch
+    # after the round-4 row-gather refine — keep refine for depth, or trade
+    # it for +2 probes when only @10 matters.
     plaid_stage1_refine: bool = True
     # device-search capacity knobs (static shapes of the jitted search
     # program). None = auto-size from the index: cell_cap from the largest
