@@ -57,6 +57,16 @@ class ColBERTConfig:
     passages_batch_size: int = 5000
     nbits: int = 2
     kmeans_niters: int = 20
+    # IVF partition count. None = the reference's planner formula
+    # (2^floor(log2(16*sqrt(est_embeddings))), collection_indexer.jl:115-139).
+    # A TPU serving knob the reference doesn't expose: stage-1 cost per
+    # query is nprobe_eff * cell_cap entries, and cell sizes scale with
+    # N/partitions — on corpora whose hot cells split 4-way (probe-dup
+    # compensation then probes nprobe+3 slots), 2-4x more partitions
+    # shrinks cells, splits, and the per-query entry budget at the price of
+    # a proportionally longer k-means (codec quality improves, finer
+    # quantization). Clamped to the training-sample size.
+    num_partitions: int | None = None
 
     # -- search settings (reference config.jl:88-89) --
     nprobe: int = 2

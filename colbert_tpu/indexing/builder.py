@@ -262,6 +262,8 @@ def _build(
 
     # --- phase 2: plan (collection_indexer.jl:115-139) ---
     plan = setup_plan(n, avg_doclen_est, n_train, config.chunksize, config.nranks)
+    if config.num_partitions:
+        plan["num_partitions"] = int(config.num_partitions)
     if plan["num_partitions"] > n_train:
         plan["num_partitions"] = n_train
     fmt.save_plan(index_path, plan)

@@ -121,3 +121,25 @@ def test_load_all_concatenation(tmp_path, rng):
     res_padded = fmt.load_all_residuals(p, mmap=True, extra_rows=1)
     assert res_padded.shape == (n + 1, 4)
     np.testing.assert_array_equal(res_padded[-1], 0)
+
+
+def test_num_partitions_override(tmp_path):
+    """config.num_partitions overrides the planner formula (TPU serving
+    knob; None keeps reference parity) and is clamped to the sample size."""
+    from colbert_tpu.config import ColBERTConfig
+    from colbert_tpu.indexing.builder import Indexer
+    from colbert_tpu.storage import format as fmt
+    from colbert_tpu.utils.testing import make_encoder, synthetic_collection
+
+    cfg = ColBERTConfig(
+        dim=32, doc_maxlen=64, query_maxlen=16, index_bsize=8,
+        length_bucket=16, chunksize=32, nbits=2, kmeans_niters=2,
+        num_partitions=64,
+    )
+    enc = make_encoder(dim=32, seed=0, config=cfg)
+    path = str(tmp_path / "idx")
+    Indexer(cfg, encoder=enc, collection=synthetic_collection(60, seed=3)).index(path)
+    plan = fmt.load_plan(path)
+    assert plan["num_partitions"] == 64
+    codec = fmt.load_codec(path)
+    assert codec["centroids"].shape[0] == 64
