@@ -147,7 +147,7 @@ def main() -> None:
 
         kw = dict(k=100, cell_cap=s.cell_cap, max_candidates=s.max_candidates,
                   use_pallas=s._stage2_pallas)
-        nprobe_c = cfg.nprobe + s.device_index.probe_dup_max - 1
+        nprobe_c = s.device_index.compensated_nprobe(cfg.nprobe)
         points = {
             "quality-first": dict(
                 nprobe=nprobe_c,

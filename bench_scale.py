@@ -120,7 +120,9 @@ def main() -> None:
             f"never lands in host RAM), HBM {hbm_gb():.2f} GB")
         log(f"static capacities: cell_cap={s.cell_cap}, "
             f"max_candidates={s.max_candidates}, "
-            f"probe_dup_max={s.device_index.probe_dup_max}")
+            f"probe_dup_max={s.device_index.probe_dup_max} "
+            f"(split mass {s.device_index.probe_split_mass:.4f} -> "
+            f"effective nprobe {s.device_index.compensated_nprobe(cfg.nprobe)})")
 
         queries = synthetic_queries(192, n_words=n_words, n_topics=n_topics)
         for B in (32, 64):
@@ -147,7 +149,7 @@ def main() -> None:
             f"{time.time() - t2:.1f}s")
         oracle = np.argsort(-oscores, axis=1)[:, :100]
         pids_b, _ = s.device_index.search_Q_batch(
-            Qe, k=100, nprobe=cfg.nprobe + s.device_index.probe_dup_max - 1,
+            Qe, k=100, nprobe=s.device_index.compensated_nprobe(cfg.nprobe),
             ncandidates=cfg.plaid_stage2_docs or max(16 * 100, 1024),
             cell_cap=s.cell_cap, max_candidates=s.max_candidates,
             centroid_threshold=cfg.centroid_score_threshold,

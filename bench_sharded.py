@@ -88,7 +88,7 @@ def main() -> None:
     Q = rng.normal(size=(n_q, 32, dim)).astype(np.float32)
     Q /= np.linalg.norm(Q, axis=-1, keepdims=True)
     Qd = jnp.asarray(Q)
-    kw = dict(k=10, nprobe=2 + sharded.probe_dup_max - 1, ncandidates=1024,
+    kw = dict(k=10, nprobe=sharded.compensated_nprobe(2), ncandidates=1024,
               cell_cap=1024, max_candidates=8192)
 
     t1 = time.time()

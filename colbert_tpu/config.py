@@ -168,10 +168,14 @@ class ColBERTConfig:
     # same change cratered recall (0.54 -> 0.29) for little QPS. Tune per
     # corpus with bench.py's recall stage; 1024 is the safe default.
     ivf_balance_cap: int | None = None
-    # add (probe_dup_max - 1) probe slots so one split cell's duplicates
+    # add up to (probe_dup_max - 1) probe slots so split cells' duplicates
     # don't crowd out distinct cells (recall-preserving, costs entry budget
-    # ~= the unbalanced index). False probes exactly nprobe slots: faster,
-    # but a query token whose best cell was split may probe ONLY that cell.
+    # ~= the unbalanced index). The compensation scales with the fraction
+    # of the corpus living in split cells (device_index.probe_compensation):
+    # an index where one stray cell split pays ~nothing, one whose hot
+    # cells all split pays the full worst case. False probes exactly nprobe
+    # slots: faster, but a query token whose best cell was split may probe
+    # ONLY that cell.
     probe_dup_compensation: bool = True
 
     def __post_init__(self) -> None:

@@ -60,6 +60,7 @@ class ShardedDeviceIndex:
     max_doclen: int
     min_ncells: int = 1        # smallest per-shard valid probe-table size
     probe_dup_max: int = 1     # see DeviceIndex.probe_dup_max
+    probe_split_mass: float = 0.0  # worst shard's split-cell mass fraction
 
     @classmethod
     def build(
@@ -90,7 +91,10 @@ class ShardedDeviceIndex:
         ever materializes (or even pages in) another host's shard."""
         from colbert_tpu.indexing.updater import build_ivf_excluding
         from colbert_tpu.parallel import launch
-        from colbert_tpu.retrieval.device_index import balance_cells
+        from colbert_tpu.retrieval.device_index import (
+            balance_cells,
+            split_mass_fraction,
+        )
         from colbert_tpu.storage import format as fmt
 
         if (codes is None) == (stream_from is None):
@@ -136,6 +140,7 @@ class ShardedDeviceIndex:
         shards: dict[int, tuple] = {}
         K_per_shard = np.zeros(ndev, np.int64)
         dup_per_shard = np.ones(ndev, np.int64)
+        split_mass_per_shard = np.zeros(ndev, np.float64)
         for s in owned:
             p0, p1 = bounds[s], bounds[s + 1]
             e0, e1 = int(emb_offsets_global[p0]), int(emb_offsets_global[p1])
@@ -166,6 +171,9 @@ class ShardedDeviceIndex:
             ):
                 sl, so, origin, dup = balance_cells(ivf_len, offs0, balance_cap)
                 dup_per_shard[s] = dup
+                split_mass_per_shard[s] = split_mass_fraction(
+                    ivf_len, balance_cap
+                )
             else:
                 sl = np.asarray(ivf_len, np.int32)
                 so = offs0.astype(np.int32)
@@ -186,8 +194,12 @@ class ShardedDeviceIndex:
             dup_per_shard = multihost_utils.process_allgather(
                 dup_per_shard
             ).reshape(-1, ndev).max(axis=0)
+            split_mass_per_shard = multihost_utils.process_allgather(
+                split_mass_per_shard
+            ).reshape(-1, ndev).max(axis=0)
         K_max = int(max(k, K_per_shard.max()))
         probe_dup_max = int(dup_per_shard.max())
+        probe_split_mass = float(split_mass_per_shard.max())
         min_ncells = int(K_per_shard.min())
 
         # pass 2 — pad every owned shard to the agreed shapes and place it
@@ -256,10 +268,19 @@ class ShardedDeviceIndex:
             max_doclen=max_doclen,
             min_ncells=min_ncells,
             probe_dup_max=probe_dup_max,
+            probe_split_mass=probe_split_mass,
             **stacked,
         )
 
     # ------------------------------------------------------------------
+
+    def compensated_nprobe(self, nprobe: int) -> int:
+        """See :meth:`DeviceIndex.compensated_nprobe`."""
+        from colbert_tpu.retrieval.device_index import probe_compensation
+
+        return nprobe + probe_compensation(
+            self.probe_dup_max, self.probe_split_mass
+        )
 
     def search_Q_batch(
         self, Q: jax.Array, *, k: int, nprobe: int, ncandidates: int,

@@ -79,6 +79,41 @@ def balance_cells(
     return sub_lengths, sub_offsets, split_origin, int(nsub.max())
 
 
+def split_mass_fraction(ivf_lengths: np.ndarray, balance_cap: int) -> float:
+    """Fraction of PROBEABLE entries (post-truncation) living in cells that
+    balance_cells() will split. This is the exposure term the probe-dup
+    compensation scales with: duplicates can only crowd distinct cells out
+    of the top-``nprobe`` for queries whose best cells are split ones."""
+    ivf_lengths = np.asarray(ivf_lengths, np.int64)
+    probeable = np.minimum(ivf_lengths, MAX_CELL_DUP * balance_cap)
+    total = int(probeable.sum())
+    if not total:
+        return 0.0
+    return float(probeable[ivf_lengths > balance_cap].sum() / total)
+
+
+def probe_compensation(dup_max: int, split_mass: float,
+                       *, saturate: float = 0.01) -> int:
+    """Extra probe slots a searcher adds so balanced-IVF duplicates of split
+    cells don't crowd distinct cells out of the top-``nprobe``.
+
+    The worst case needs ``dup_max - 1`` extra slots (a query whose best
+    cell split ``dup_max``-way), but charging EVERY query for it is wrong
+    when almost nothing splits: measured at 141k, 4x-finer partitions leave
+    one ~4.7k-entry cell split (0.03% of the corpus) yet the old
+    ``dup_max - 1`` rule still probed 5 cells instead of 2 — 2.5x the
+    stage-1 entry budget for a ~0.03% recall exposure. Scale the
+    compensation by the split-cell mass fraction, saturating at
+    ``saturate``: topical queries concentrate on exactly the oversized
+    cells, so >=1% of the corpus in split cells already warrants the full
+    worst-case compensation (the regime every committed recall number was
+    measured in keeps its exact probe count)."""
+    if dup_max <= 1 or split_mass <= 0.0:
+        return 0
+    return min(dup_max - 1,
+               max(0, round((dup_max - 1) * min(1.0, split_mass / saturate))))
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _write_rows(buf: jax.Array, rows: jax.Array, offset: jax.Array) -> jax.Array:
     """Donated in-place row write into a preallocated device buffer (no
@@ -197,9 +232,11 @@ class DeviceIndex:
     nbits: int
     max_doclen: int           # padded per-passage token capacity (static)
     # largest number of probe-table duplicates of one cell (1 = no split);
-    # searchers add (probe_dup_max - 1) probes so duplicates don't crowd out
-    # distinct cells
+    # searchers add probe_compensation(probe_dup_max, probe_split_mass)
+    # probes so duplicates don't crowd out distinct cells
     probe_dup_max: int = 1
+    # fraction of probeable entries in split cells (scales the compensation)
+    probe_split_mass: float = 0.0
     # telemetry: total candidates dropped beyond the stage-1 selection width
     # (the refine's 4x window or ncandidates; score-ordered, so the dropped
     # ones are the weakest — but non-zero overflow still means recall may
@@ -260,9 +297,11 @@ class DeviceIndex:
         ivf_lengths = np.asarray(ivf_lengths, np.int64)
         orig_offsets = np.concatenate([[0], np.cumsum(ivf_lengths)])[:-1]
         probe_dup_max = 1
+        probe_split_mass = 0.0
         if balance_cap is not None and len(ivf_lengths) and (
             int(ivf_lengths.max()) > balance_cap
         ):
+            probe_split_mass = split_mass_fraction(ivf_lengths, balance_cap)
             # duplication is bounded: each probe slot a duplicate wins is a
             # slot another cell loses, so searchers compensate nprobe by
             # (probe_dup_max - 1); unbounded duplication would push that
@@ -331,9 +370,17 @@ class DeviceIndex:
             nbits=nbits,
             max_doclen=max_doclen,
             probe_dup_max=probe_dup_max,
+            probe_split_mass=probe_split_mass,
         )
 
     # ------------------------------------------------------------------
+
+    def compensated_nprobe(self, nprobe: int) -> int:
+        """``nprobe`` plus the probe-dup compensation this index's balanced
+        IVF warrants (see :func:`probe_compensation`)."""
+        return nprobe + probe_compensation(
+            self.probe_dup_max, self.probe_split_mass
+        )
 
     def _clamp(self, Lq: int, nprobe: int, cell_cap: int,
                max_candidates: int, ncandidates: int, k: int):

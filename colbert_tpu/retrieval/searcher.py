@@ -264,12 +264,14 @@ class Searcher:
                 attend_to_mask_tokens=cfg.attend_to_mask_tokens,
             )
             ncand, threshold = self._stage_params(k)
-            # balanced-IVF duplicates of one oversized cell consume probe
+            # balanced-IVF duplicates of oversized cells consume probe
             # slots; compensate so nprobe DISTINCT cells are still typically
-            # reached (config.probe_dup_compensation trades this for speed)
+            # reached — scaled by how much of the corpus actually lives in
+            # split cells (device_index.probe_compensation;
+            # config.probe_dup_compensation trades this for speed)
             nprobe = cfg.nprobe
             if cfg.probe_dup_compensation:
-                nprobe += self.device_index.probe_dup_max - 1
+                nprobe = self.device_index.compensated_nprobe(nprobe)
             pids_b, scores_b = self.device_index.search_tokens_batch(
                 self.encoder.params, self.encoder.bert_config, ids, mask,
                 k=k, nprobe=nprobe, ncandidates=ncand,
@@ -289,7 +291,7 @@ class Searcher:
             ncand, threshold = self._stage_params(k)
             nprobe = cfg.nprobe
             if cfg.probe_dup_compensation:
-                nprobe += self.sharded_index.probe_dup_max - 1
+                nprobe = self.sharded_index.compensated_nprobe(nprobe)
             pids_b, scores_b = self.sharded_index.search_Q_batch(
                 Q, k=k, nprobe=nprobe, ncandidates=ncand,
                 cell_cap=self.cell_cap, max_candidates=self.max_candidates,

@@ -218,6 +218,38 @@ def test_balanced_ivf_split_preserves_results(rng):
     np.testing.assert_array_equal(p_full, p_bal)
     np.testing.assert_allclose(s_full, s_bal, rtol=1e-4, atol=1e-4)
 
+    # half the corpus lives in the forced mega-cell -> split mass saturates
+    # the compensation at the worst case (the pre-round-4 fixed rule)
+    assert bal.probe_split_mass > 0.01
+    assert bal.compensated_nprobe(2) == 2 + int(nsub.max()) - 1
+
+
+def test_probe_compensation_scales_with_split_mass():
+    """The probe-dup compensation is worst-case when split cells carry real
+    mass, and ~zero when one stray cell split (measured at 141k with 4x
+    partitions: one 4.7k-entry cell of 131072 -> the old fixed dup_max-1
+    rule cost 2.5x stage-1 entries for a 0.03% recall exposure)."""
+    from colbert_tpu.retrieval.device_index import (
+        probe_compensation,
+        split_mass_fraction,
+    )
+
+    assert probe_compensation(1, 0.5) == 0          # nothing split
+    assert probe_compensation(4, 0.0) == 0
+    assert probe_compensation(4, 0.5) == 3          # heavy split: worst case
+    assert probe_compensation(4, 0.01) == 3         # saturation point
+    assert probe_compensation(4, 0.0003) == 0       # one stray cell
+    assert probe_compensation(4, 0.005) == 2        # in between, monotone
+    assert probe_compensation(2, 1.0) == 1
+
+    # split_mass_fraction counts probeable (post-truncation) entries
+    lengths = np.array([10, 10, 100], np.int64)
+    cap = 16
+    # cell 2 splits: probeable mass min(100, 4*16)=64 of 10+10+64
+    assert split_mass_fraction(lengths, cap) == 64 / 84
+    assert split_mass_fraction(np.array([5, 5], np.int64), cap) == 0.0
+    assert split_mass_fraction(np.zeros(0, np.int64), cap) == 0.0
+
 
 def test_float_sort_fallback_matches_int_path(built):
     """Corpora beyond the int32 composite-key range take a two-sort float
