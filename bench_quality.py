@@ -16,9 +16,9 @@ retrieval quality against a ground-truth signal):
      and funnel recall@10/@100 vs the exhaustive exact-codec oracle across
      the bench's operating points, plus self-retrieval success@1.
 
-Usage: ``python bench_quality.py [n_passages] [train_steps]``
-(defaults 141431, 300). Prints one JSON summary line; committed run log in
-SCALE.md §quality.
+Usage: ``python bench_quality.py [n_passages] [train_steps] [num_partitions]``
+(defaults 141431, 300, planner formula). Prints one JSON summary line;
+committed run log in SCALE.md §quality.
 """
 
 from __future__ import annotations
@@ -102,6 +102,7 @@ def train_encoder(encoder, passages, *, steps: int, batch_size: int = 32,
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 141_431
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+    partitions = int(sys.argv[3]) if len(sys.argv) > 3 else None
     import jax.numpy as jnp
 
     from colbert_tpu.indexing.builder import Indexer
@@ -110,6 +111,9 @@ def main() -> None:
     encoder, cfg = make_bench_encoder()
     cfg.chunksize = 25_000
     cfg.search_max_candidates = 8192
+    if partitions:
+        cfg.num_partitions = partitions
+        log(f"num_partitions override: {partitions}")
     passages = synthetic_passages(n)
     log(f"corpus: {n} passages, {N_TOPICS} topics")
 
@@ -192,7 +196,9 @@ def main() -> None:
         qps_quality = _time_qps(s, qs, 64)
         log(f"batched search on trained index (B=64, quality-first): "
             f"{qps_quality:.1f} QPS/chip (probe_dup_max="
-            f"{s.device_index.probe_dup_max})")
+            f"{s.device_index.probe_dup_max}, split_mass="
+            f"{s.device_index.probe_split_mass:.4f}, effective nprobe="
+            f"{s.device_index.compensated_nprobe(cfg.nprobe)})")
         s.config.plaid_stage1_refine = False
         s.config.probe_dup_compensation = False
         s.config.plaid_stage2_docs = 512

@@ -93,21 +93,23 @@ def split_mass_fraction(ivf_lengths: np.ndarray, balance_cap: int) -> float:
 
 
 def probe_compensation(dup_max: int, split_mass: float,
-                       *, saturate: float = 0.01) -> int:
+                       *, saturate: float = 0.05) -> int:
     """Extra probe slots a searcher adds so balanced-IVF duplicates of split
     cells don't crowd distinct cells out of the top-``nprobe``.
 
     The worst case needs ``dup_max - 1`` extra slots (a query whose best
     cell split ``dup_max``-way), but charging EVERY query for it is wrong
-    when almost nothing splits: measured at 141k, 4x-finer partitions leave
-    one ~4.7k-entry cell split (0.03% of the corpus) yet the old
-    ``dup_max - 1`` rule still probed 5 cells instead of 2 — 2.5x the
-    stage-1 entry budget for a ~0.03% recall exposure. Scale the
-    compensation by the split-cell mass fraction, saturating at
-    ``saturate``: topical queries concentrate on exactly the oversized
-    cells, so >=1% of the corpus in split cells already warrants the full
-    worst-case compensation (the regime every committed recall number was
-    measured in keeps its exact probe count)."""
+    when little splits. Measured on v5e at 141k with 4x-finer partitions
+    (split cells = 1.2% of probeable mass, mostly 2-way): recall@10 is flat
+    across nprobe 2..5 (score-recall 0.594/0.613/0.637/0.625, within noise)
+    while quality-first QPS falls 36.5 -> 28.7 — the old fixed
+    ``dup_max - 1`` rule paid 21% QPS for nothing. Scale the compensation
+    by the split-cell mass fraction, saturating at ``saturate``: topical
+    queries concentrate on exactly the oversized cells, so >=5% of the
+    corpus in split cells warrants the full worst-case compensation (the
+    heavy-split regimes every committed recall number was measured in keep
+    their exact probe count; the 1.2% geometry gets 1 extra probe — its
+    measured recall knee)."""
     if dup_max <= 1 or split_mass <= 0.0:
         return 0
     return min(dup_max - 1,

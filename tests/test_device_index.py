@@ -237,9 +237,9 @@ def test_probe_compensation_scales_with_split_mass():
     assert probe_compensation(1, 0.5) == 0          # nothing split
     assert probe_compensation(4, 0.0) == 0
     assert probe_compensation(4, 0.5) == 3          # heavy split: worst case
-    assert probe_compensation(4, 0.01) == 3         # saturation point
+    assert probe_compensation(4, 0.05) == 3         # saturation point
     assert probe_compensation(4, 0.0003) == 0       # one stray cell
-    assert probe_compensation(4, 0.005) == 2        # in between, monotone
+    assert probe_compensation(4, 0.0123) == 1       # the measured 141k@4x
     assert probe_compensation(2, 1.0) == 1
 
     # split_mass_fraction counts probeable (post-truncation) entries
