@@ -54,6 +54,12 @@ def make_triples(
     membership."""
     rng = np.random.default_rng(seed)
     P = len(passages)
+    if P < 2 * n_topics:
+        # below this every topic isn't guaranteed a second member, and the
+        # same-topic resampling loop below could never find j != i
+        raise ValueError(
+            f"need >= {2 * n_topics} passages ({n_topics} topics x 2) to "
+            f"sample same-topic negatives; got {P}")
     out = []
     for _ in range(n):
         i = int(rng.integers(0, P))

@@ -100,11 +100,19 @@ def main() -> None:
         pids, scores = sharded.search_Q_batch(Qd, **kw)
     dt = (time.time() - t2) / reps
     qps = n_q / dt
-    # itemize the host merge (numpy sort of D*k pairs per query)
+    # itemize the host merge by timing the REAL merge function on
+    # same-shaped tables (the all_gathered per-shard top-k as
+    # search_Q_batch sees it: (D, B, k_local) local pids + scores)
+    from colbert_tpu.parallel.sharded_index import merge_shard_topk
+    D = sharded.mesh.shape["data"]
+    kl = kw["k"]
+    lp = rng.integers(0, sharded.shard_passages + 1,
+                      size=(D, n_q, kl)).astype(np.int32)
+    ls_tbl = rng.normal(size=(D, n_q, kl)).astype(np.float32)
     t3 = time.time()
     for _ in range(20):
-        flat_s = np.asarray(scores)
-        order = np.argsort(-rng.normal(size=(n_q, 8 * 10)), axis=1)[:, :10]
+        merge_shard_topk(lp, ls_tbl, sharded.pid_base,
+                         sharded.shard_passages, kw["k"])
     merge_ms = (time.time() - t3) / 20 * 1000
     valid = pids[pids >= 0]
     log(f"warm sharded search (B={n_q}): {dt * 1000:.0f} ms/batch = "

@@ -95,7 +95,19 @@ def initialize(
 
 
 def is_initialized() -> bool:
-    return _initialized or jax.process_count() > 1
+    """True once the JAX process group is joined (by this module or by a
+    direct ``jax.distributed.initialize`` call). Deliberately does NOT
+    probe ``jax.process_count()``: that would initialize the local XLA
+    backend, after which a distributed initialize() raises — making the
+    natural ``if not is_initialized(): initialize()`` pattern self-defeating
+    (see the NOTE in :func:`initialize`)."""
+    if _initialized:
+        return True
+    try:
+        from jax._src import distributed
+        return distributed.global_state.client is not None
+    except Exception:  # pragma: no cover - private-API drift fallback
+        return False
 
 
 def process_index() -> int:
@@ -169,7 +181,8 @@ def put_data_sharded(arr: np.ndarray, mesh: Mesh) -> jax.Array:
     arr = np.asarray(arr)
     D = mesh.shape["data"]
     if arr.shape[0] % D:
-        raise ValueError(f"leading dim {arr.shape[0]} must divide data axis {D}")
+        raise ValueError(
+            f"data-axis size {D} must divide leading dim {arr.shape[0]}")
     rows = arr.shape[0] // D
     me = jax.process_index()
     devs = mesh.devices.reshape(D, -1)

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from typing import Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -97,6 +98,8 @@ class ShardedDeviceIndex:
         )
         from colbert_tpu.storage import format as fmt
 
+        if (codes is None) != (residuals is None):
+            raise ValueError("codes and residuals must be passed together")
         if (codes is None) == (stream_from is None):
             raise ValueError("pass exactly one of codes/residuals or stream_from")
         ndev = mesh.shape["data"]
@@ -304,8 +307,12 @@ class ShardedDeviceIndex:
         )
         from colbert_tpu.parallel import launch
 
+        # keep Q on device: np.asarray here would pull an already-uploaded
+        # query batch back over the tunnel (~100ms D2H) every warm batch;
+        # put_replicated's single-process path device_puts a jax.Array
+        # directly (device-to-device)
         local_pids, local_scores, _overflow = fn(
-            launch.put_replicated(np.asarray(Q, np.float32), self.mesh),
+            launch.put_replicated(jnp.asarray(Q, jnp.float32), self.mesh),
             self.centroids, self.probe_cents, self.codes, self.residuals,
             self.ivf, self.ivf_offsets, self.ivf_lengths,
             self.doclens, self.emb_offsets, self.bucket_weights, self.n_cells,
@@ -313,20 +320,31 @@ class ShardedDeviceIndex:
         # host merge of the all_gathered (D, B, k_local) tables -> global
         # pids, top-k per query. The in-program all_gather makes the outputs
         # fully replicated, so every pod host computes the same merge.
-        lp = np.asarray(local_pids)     # (D, B, kl)
-        ls = np.asarray(local_scores)
-        D, B2, kl = lp.shape
-        valid = lp != self.shard_passages
-        gp = lp.astype(np.int64) + self.pid_base[:, None, None]
-        gp = np.where(valid, gp, -1)
-        ls = np.where(valid, ls, -np.inf)
-        flat_p = gp.transpose(1, 0, 2).reshape(B2, D * kl)
-        flat_s = ls.transpose(1, 0, 2).reshape(B2, D * kl)
-        order = np.argsort(-flat_s, axis=1)[:, :k]
-        out_p = np.take_along_axis(flat_p, order, 1)
-        out_s = np.take_along_axis(flat_s, order, 1).astype(np.float32)
-        out_p[~np.isfinite(out_s)] = -1
-        return out_p, out_s
+        return merge_shard_topk(
+            np.asarray(local_pids), np.asarray(local_scores),
+            self.pid_base, self.shard_passages, k)
+
+
+def merge_shard_topk(
+    lp: np.ndarray, ls: np.ndarray, pid_base: np.ndarray,
+    sentinel_pid: int, k: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge per-shard (D, B, k_local) top-k tables into global (B, k):
+    shard-local pids -> global via ``pid_base``, sentinel rows masked,
+    numpy sort of the D*k_local pairs per query. Factored out so the
+    sharded bench times THIS code, not a proxy."""
+    D, B2, kl = lp.shape
+    valid = lp != sentinel_pid
+    gp = lp.astype(np.int64) + np.asarray(pid_base)[:, None, None]
+    gp = np.where(valid, gp, -1)
+    ls = np.where(valid, ls, -np.inf)
+    flat_p = gp.transpose(1, 0, 2).reshape(B2, D * kl)
+    flat_s = ls.transpose(1, 0, 2).reshape(B2, D * kl)
+    order = np.argsort(-flat_s, axis=1)[:, :k]
+    out_p = np.take_along_axis(flat_p, order, 1)
+    out_s = np.take_along_axis(flat_s, order, 1).astype(np.float32)
+    out_p[~np.isfinite(out_s)] = -1
+    return out_p, out_s
 
 
 def _sharded_search_fn(mesh, **static):

@@ -240,9 +240,19 @@ def read_embedding_rows(index_path: str, lo: int, hi: int) -> tuple[np.ndarray, 
     """Rows [lo, hi) of the global (codes, residuals) arrays, assembled from
     the covering chunk mmaps only — a multi-host loader primitive: each pod
     host reads JUST its shard's rows (pages) instead of the whole index.
-    Requires plan.json's ``embedding_offsets`` (written by every builder)."""
+    Uses plan.json's ``embedding_offsets`` (written by every builder); for
+    older plans without it, reconstructs the offsets from the chunk mmap
+    headers (shape-only reads, no data paged in)."""
     plan = load_plan(index_path)
-    offsets = list(plan["embedding_offsets"]) + [int(plan["num_embeddings"])]
+    starts = plan.get("embedding_offsets")
+    if not starts:
+        starts, acc = [], 0
+        for ci in range(int(plan["num_chunks"])):
+            starts.append(acc)
+            acc += np.load(
+                os.path.join(index_path, f"{ci}.codes.npy"), mmap_mode="r"
+            ).shape[0]
+    offsets = list(starts) + [int(plan["num_embeddings"])]
     if not (0 <= lo <= hi <= offsets[-1]):
         raise ValueError(f"rows [{lo}, {hi}) outside [0, {offsets[-1]})")
     codes_parts, res_parts = [], []

@@ -80,9 +80,17 @@ def test_two_process_cluster_matches_single_process(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        # on timeout, don't leak live jax.distributed workers (they hold
+        # the coordinator port and can wedge subsequent runs)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"MULTIHOST_OK p{pid}" in out, out[-4000:]
