@@ -219,3 +219,58 @@ def test_sharded_search_program_cached(built):
     sharded.search_Q_batch(Q, k=5, nprobe=2, ncandidates=64,
                            cell_cap=64, max_candidates=256)
     assert fn._cache_size() == n_traces  # no retrace on repeat batches
+
+
+def test_merge_shard_topk_semantics():
+    """The host merge: sentinel rows masked, shard-local pids globalized via
+    pid_base, exact top-k across shards (bench_sharded times this function
+    on real table shapes — keep it equivalent to an explicit reference)."""
+    from colbert_tpu.parallel.sharded_index import merge_shard_topk
+
+    sentinel = 100
+    pid_base = np.array([0, 100, 250], np.int64)  # 3 shards, ragged sizes
+    # shard 1 returns one sentinel (padded) slot; shard 2 dominates
+    lp = np.array([
+        [[3, 1], [0, 2]],
+        [[5, sentinel], [sentinel, sentinel]],
+        [[7, 0], [1, 2]],
+    ], np.int32)  # (D=3, B=2, k_local=2)
+    ls = np.array([
+        [[0.9, 0.5], [0.1, 0.05]],
+        [[0.7, 123.0], [-9.0, -9.0]],
+        [[1.5, 0.8], [0.3, 0.2]],
+    ], np.float32)  # sentinel slots carry garbage scores
+
+    out_p, out_s = merge_shard_topk(lp, ls, pid_base, sentinel, k=4)
+    # query 0: shard2 pid7 -> 257 (1.5), shard0 pid3 -> 3 (0.9),
+    # shard2 pid0 -> 250 (0.8), shard1 pid5 -> 105 (0.7); the sentinel
+    # slot's garbage 123.0 must NOT surface
+    assert out_p[0].tolist() == [257, 3, 250, 105]
+    np.testing.assert_allclose(out_s[0], [1.5, 0.9, 0.8, 0.7], rtol=1e-6)
+    # query 1: shard 1 fully sentinel -> only shards 0/2 contribute
+    assert out_p[1].tolist() == [251, 252, 0, 2]
+    np.testing.assert_allclose(out_s[1], [0.3, 0.2, 0.1, 0.05], rtol=1e-6)
+    # no sentinel-derived global pid anywhere
+    banned = {int(b) + sentinel for b in pid_base}
+    assert not (set(out_p.ravel().tolist()) & banned)
+    assert (out_p >= 0).all()
+
+
+def test_merge_shard_topk_all_sentinel_query():
+    from colbert_tpu.parallel.sharded_index import merge_shard_topk
+
+    lp = np.full((2, 1, 3), 7, np.int32)  # every slot sentinel
+    ls = np.zeros((2, 1, 3), np.float32)
+    out_p, out_s = merge_shard_topk(lp, ls, np.array([0, 7]), 7, k=2)
+    assert (out_p == -1).all()
+    assert not np.isfinite(out_s).any()
+
+
+def test_build_requires_residuals_with_codes():
+    mesh = make_mesh(8, 1)
+    with pytest.raises(ValueError, match="together"):
+        ShardedDeviceIndex.build(
+            mesh, centroids=np.zeros((4, 16), np.float32),
+            codes=np.zeros((8,), np.int32), residuals=None,
+            doclens=np.array([4, 4]), bucket_weights=np.zeros((4,)), nbits=2,
+        )
