@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from colbert_tpu.retrieval.device_index import _search_core
+from colbert_tpu.retrieval.device_index import IVF_PAD, _probe_topk, _search_core
 
 __all__ = ["ShardedDeviceIndex"]
 
@@ -45,10 +45,12 @@ class ShardedDeviceIndex:
     probe_cents: jax.Array     # (D, K', dim) sharded — per-shard probe table
                                # (balanced IVF duplicates; padded across shards)
     bucket_weights: jax.Array  # (2^nbits,) replicated
-    codes: jax.Array           # (D, Ns+1) sharded on axis 0
-    residuals: jax.Array       # (D, Ns+1, nbytes)
-    ivf: jax.Array             # (D, Ns+1) local PIDS grouped by cell (eids
-                               # mapped at build, like DeviceIndex)
+    codes: jax.Array           # (D, Ns+max_doclen) sharded on axis 0 (zeroed
+                               # tail rows keep stage-2's per-candidate
+                               # dynamic_slice windows in bounds)
+    residuals: jax.Array       # (D, Ns+max_doclen, nbytes)
+    ivf: jax.Array             # (D, Ns+IVF_PAD) local PIDS grouped by cell
+                               # (eids mapped at build, like DeviceIndex)
     ivf_offsets: jax.Array     # (D, k)
     ivf_lengths: jax.Array     # (D, k)
     doclens: jax.Array         # (D, Ps+1)
@@ -213,17 +215,22 @@ class ShardedDeviceIndex:
                 "doclens", "emb_offsets", "probe_cents", "n_cells",
             )
         }
+        max_doclen = int(doclens.max()) if P_total else 1
+        max_doclen = max(32, -(-max_doclen // 32) * 32)
         for s, (dl, lc, lr, ivf_local, sl, so, origin) in shards.items():
             Ns, Ps = len(lc), len(dl)
             sent_eid, sent_pid = Ns_max, Ps_max
-            codes_p = np.zeros(Ns_max + 1, np.uint32)
+            # tail pads mirror DeviceIndex.build: max_doclen zeroed rows on
+            # codes/residuals (stage-2 per-candidate dynamic_slice windows)
+            # and IVF_PAD sentinel entries on the IVF (per-cell slice reads)
+            codes_p = np.zeros(Ns_max + max_doclen, np.uint32)
             codes_p[:Ns] = lc
-            res_p = np.zeros((Ns_max + 1, nbytes), np.uint8)
+            res_p = np.zeros((Ns_max + max_doclen, nbytes), np.uint8)
             res_p[:Ns] = lr
             e2p = np.full(Ns_max + 1, sent_pid, np.int32)
             e2p[:Ns] = np.repeat(np.arange(Ps, dtype=np.int32), dl)
-            # local IVF carries PIDS (one stage-1 gather, not two)
-            ivf_p = np.full(Ns_max + 1, sent_eid, np.int32)
+            # local IVF carries PIDS (one stage-1 read, not two)
+            ivf_p = np.full(Ns_max + IVF_PAD, sent_eid, np.int32)
             ivf_p[:Ns] = ivf_local
             ivf_p = e2p[ivf_p]
             offs = np.full(Ps_max + 1, sent_eid, np.int32)
@@ -241,9 +248,9 @@ class ShardedDeviceIndex:
             A["emb_offsets"][s] = offs
 
         tails = {
-            "codes": ((Ns_max + 1,), np.uint32),
-            "residuals": ((Ns_max + 1, nbytes), np.uint8),
-            "ivf": ((Ns_max + 1,), np.int32),
+            "codes": ((Ns_max + max_doclen,), np.uint32),
+            "residuals": ((Ns_max + max_doclen, nbytes), np.uint8),
+            "ivf": ((Ns_max + IVF_PAD,), np.int32),
             "ivf_offsets": ((K_max,), np.int32),
             "ivf_lengths": ((K_max,), np.int32),
             "doclens": ((Ps_max + 1,), np.int32),
@@ -255,8 +262,6 @@ class ShardedDeviceIndex:
             name: launch.put_shard_stack(mesh, vals, *tails[name])
             for name, vals in A.items()
         }
-        max_doclen = int(doclens.max()) if P_total else 1
-        max_doclen = max(32, -(-max_doclen // 32) * 32)
 
         return cls(
             mesh=mesh,
@@ -376,16 +381,28 @@ def _sharded_search_fn_cached(mesh, static_items):
     def search(Q, centroids, probe_cents, codes, residuals, ivf,
                ivf_offsets, ivf_lengths, doclens, emb_offsets,
                bucket_weights, n_cells):
-        # local shard arrays arrive with a leading length-1 device axis
-        def one(q):
+        # local shard arrays arrive with a leading length-1 device axis.
+        # Probe ALL queries flat against this shard's probe table first
+        # (one big MXU matmul — see device_index._probe_topk), then vmap
+        # the per-query core with the probed cells as batched inputs.
+        B, Lq, dim = Q.shape
+        nprobe = static["nprobe"]
+        ps, cl = _probe_topk(
+            Q.reshape(B * Lq, dim), probe_cents[0], nprobe=nprobe,
+            probe_ncells=n_cells[0, 0],
+        )
+        ps = ps.reshape(B, Lq, nprobe)
+        cl = cl.reshape(B, Lq, nprobe)
+
+        def one(q, p, c):
             return _search_core(
-                q, centroids, probe_cents[0], codes[0], residuals[0], ivf[0],
+                q, p, c, centroids, codes[0], residuals[0], ivf[0],
                 ivf_offsets[0], ivf_lengths[0], doclens[0],
                 emb_offsets[0], bucket_weights, probe_ncells=n_cells[0, 0],
                 **static,
             )
 
-        pids, scores, overflow = jax.vmap(one)(Q)   # (B, k)
+        pids, scores, overflow = jax.vmap(one)(Q, ps, cl)   # (B, k)
         # all_gather the tiny per-shard top-k tables (D*B*k ids+scores —
         # bytes, rides ICI/DCN): outputs land fully replicated, so the host
         # merge needs no cross-process transfer and every pod host returns

@@ -6,14 +6,17 @@ sort). On a TPU the device<->host link and per-program dispatch are the
 scarce resources, so the entire index lives in HBM and a *batch* of queries
 is ONE jitted program — query BERT encode included:
 
-    tokenize (host) -> [one program: BERT query encode -> probe-table scores
-    (balanced IVF: oversized cells split into duplicated-centroid sub-cells)
-    -> top-nprobe cells (+ PLAID cell-score pruning) -> padded IVF gather ->
-    on-device pid dedup fused with gather-free stage-1 ranking (per-pid sum
-    of per-query-token probed-entry maxima, midpoint of the WARP/XTR
-    imputation bounds) -> optional 4x-wide full-centroid refine ->
-    top-ncandidates -> chunked pallas fused decompress + MaxSim ->
-    final top-k] -> (B, k) pids + scores back to host
+    tokenize (host) -> [one program: BERT query encode -> FLAT batched
+    probe-table scores (balanced IVF: oversized cells split into
+    duplicated-centroid sub-cells; one (B*Lq, K') MXU matmul, never under
+    the per-query vmap) -> top-nprobe cells (+ PLAID cell-score pruning) ->
+    per-cell contiguous IVF slice reads -> on-device pid dedup fused with
+    gather-free stage-1 ranking (score-descending composite sort, per-pid
+    cumsum-diff sums of per-query-token probed-entry maxima, midpoint of
+    the WARP/XTR imputation bounds) -> optional 4x-wide full-centroid
+    refine -> top-ncandidates -> chunked pallas fused decompress + MaxSim
+    over per-candidate contiguous token slices -> final top-k]
+    -> (B, k) pids + scores back to host
 
 All shapes are static (``nprobe``, per-cell cap, dedup capacity, stage-2
 ``ncandidates``, padded doc length, ``k``), so the pipeline compiles once
@@ -48,6 +51,16 @@ NEG = -1e30
 
 
 MAX_CELL_DUP = 4  # sub-cells per oversized cell (see balance_cells)
+
+# Tail padding (entries) on the device IVF array. Stage-2's candidate reads
+# are contiguous runs, and so are the IVF cell reads: expressing them as
+# vmapped ``dynamic_slice`` (one (cell_cap,) slice per probed cell) instead
+# of element gathers lets XLA emit contiguous HBM reads — measured on v5e at
+# 1M geometry: 256 ms -> 81 ms per 64-query batch. The slice window is
+# ``cell_cap`` wide regardless of the cell's true length, so the array needs
+# a tail pad >= cell_cap; searches with cell_cap > IVF_PAD fall back to the
+# gather formulation.
+IVF_PAD = 4096
 
 
 def balance_cells(
@@ -125,10 +138,12 @@ def _write_rows(buf: jax.Array, rows: jax.Array, offset: jax.Array) -> jax.Array
 
 
 def _stream_chunks_to_device(index_path: str, N: int, nbytes: int,
-                             *, prefetch: int = 4):
+                             *, pad_rows: int, prefetch: int = 4):
     """Upload codes/residual chunks mmap -> HBM without ever holding the
-    packed index in host RAM (buffers are preallocated with the zeroed
-    sentinel row at N).
+    packed index in host RAM (buffers are preallocated with ``pad_rows``
+    zeroed tail rows at N — the stage-2 per-candidate ``dynamic_slice``
+    reads a fixed ``max_doclen`` window from each passage's offset, so the
+    last passage's window must stay in bounds).
 
     Uploads are PIPELINED: ``prefetch`` worker threads stage chunks (disk
     page-in + contiguous copy) and issue their ``device_put`` concurrently,
@@ -144,8 +159,8 @@ def _stream_chunks_to_device(index_path: str, N: int, nbytes: int,
 
     from colbert_tpu.storage import format as fmt
 
-    codes_buf = jnp.zeros((N + 1,), jnp.uint32)
-    res_buf = jnp.zeros((N + 1, nbytes), jnp.uint8)
+    codes_buf = jnp.zeros((N + pad_rows,), jnp.uint32)
+    res_buf = jnp.zeros((N + pad_rows, nbytes), jnp.uint8)
     nch = fmt.num_chunks(index_path)
 
     def drop_pages(arr) -> None:
@@ -217,9 +232,12 @@ class DeviceIndex:
     centroids: jax.Array      # (k, dim) f32 — codec table (codes index this)
     probe_centroids: jax.Array  # (k', dim) f32 — probing table (balanced IVF
                                 # duplicates oversized cells' rows; k' >= k)
-    codes: jax.Array          # (N+1,) uint32 — last row is the sentinel token
-    residuals: jax.Array      # (N+1, nbytes) uint8
-    ivf: jax.Array            # (N+pad,) int32 PIDS grouped by centroid — the
+    codes: jax.Array          # (N+max_doclen,) uint32 — zeroed tail rows keep
+                              # every passage's fixed-width dynamic_slice
+                              # window in bounds (stage-2 reads are contiguous
+                              # per-candidate slices, not element gathers)
+    residuals: jax.Array      # (N+max_doclen, nbytes) uint8
+    ivf: jax.Array            # (N+IVF_PAD,) int32 PIDS grouped by centroid — the
                               # on-disk IVF stores eids; the device copy maps
                               # them to pids at build time so stage-1 does ONE
                               # random gather per entry instead of two
@@ -269,11 +287,14 @@ class DeviceIndex:
         and warned). Codec centroids (what codes decompress against) are
         untouched. None = no splitting.
 
-        ``codes``/``residuals`` may arrive pre-padded with one zeroed
-        sentinel row (``len == doclens.sum() + 1``, as produced by
-        ``format.load_all_*(extra_rows=1)``): they are then used in place —
-        host RSS stays at ONE copy of the index instead of the concat+append
-        double it used to pay (~2x index size transient at MS MARCO scale).
+        ``codes``/``residuals`` may arrive pre-padded with the zeroed tail
+        rows the sliced stage-2 needs (``len == doclens.sum() + max_doclen``
+        where ``max_doclen`` is the doclens max rounded up to 32, as produced
+        by ``format.load_all_*(extra_rows=...)``): they are then used in
+        place — host RSS stays at ONE copy of the index instead of the
+        concat+append double it used to pay (~2x index size transient at MS
+        MARCO scale). Any other length >= ``doclens.sum()`` is re-padded
+        through a host copy.
 
         With ``stream_from`` (an index dir) instead of host arrays, chunks
         are uploaded straight from their mmaps into preallocated device
@@ -282,11 +303,13 @@ class DeviceIndex:
         doclens = np.asarray(doclens, np.int64)
         N = int(doclens.sum())
         P = len(doclens)
+        max_doclen = int(doclens.max()) if P else 1
+        max_doclen = max(32, -(-max_doclen // 32) * 32)
         if stream_from is None:
-            if len(codes) not in (N, N + 1) or len(residuals) != len(codes):
+            if len(codes) < N or len(residuals) != len(codes):
                 raise ValueError(
                     f"codes/residuals rows ({len(codes)}/{len(residuals)}) must "
-                    f"be doclens.sum()={N} (+1 if sentinel-padded)"
+                    f"be >= doclens.sum()={N} and equal"
                 )
             nbytes = residuals.shape[1]
         else:
@@ -320,15 +343,17 @@ class DeviceIndex:
             probe_centroids = centroids
 
         if stream_from is not None:
-            codes_dev, res_dev = _stream_chunks_to_device(stream_from, N, nbytes)
-        elif len(codes) == N + 1:  # pre-padded by the loader; zeroed tail row
+            codes_dev, res_dev = _stream_chunks_to_device(
+                stream_from, N, nbytes, pad_rows=max_doclen
+            )
+        elif len(codes) == N + max_doclen:  # pre-padded by the loader (zeroed)
             codes_dev = jnp.asarray(np.ascontiguousarray(codes, dtype=np.uint32))
             res_dev = jnp.asarray(np.ascontiguousarray(residuals, dtype=np.uint8))
         else:
-            codes_p = np.zeros(N + 1, np.uint32)
-            codes_p[:N] = codes
-            res_p = np.zeros((N + 1, nbytes), np.uint8)
-            res_p[:N] = residuals
+            codes_p = np.zeros(N + max_doclen, np.uint32)
+            codes_p[:N] = codes[:N]
+            res_p = np.zeros((N + max_doclen, nbytes), np.uint8)
+            res_p[:N] = residuals[:N]
             codes_dev = jnp.asarray(codes_p)
             res_dev = jnp.asarray(res_p)
 
@@ -345,17 +370,14 @@ class DeviceIndex:
         dl_p = np.concatenate([doclens.astype(np.int32), np.zeros(1, np.int32)])
 
         ivf_offsets = orig_offsets.astype(np.int32)
-        # pad the ivf tail so offset reads at empty trailing cells stay in
-        # bounds, then map eids -> pids ONCE on the host: stage-1 then pays
-        # one random gather per probed entry instead of two (emb2pid never
-        # ships to HBM). The gather indexes with the on-disk dtype directly
-        # (int32 since round 4) — no widening copy.
-        ivf_pid = np.empty(len(ivf) + 1, np.int32)
+        # pad the ivf tail (IVF_PAD entries) so every probed cell's fixed
+        # cell_cap-wide dynamic_slice window stays in bounds, then map
+        # eids -> pids ONCE on the host: stage-1 then pays one contiguous
+        # slice read per probed cell instead of element gathers (emb2pid
+        # never ships to HBM). The map indexes with the on-disk dtype
+        # directly (int32 since round 4) — no widening copy.
+        ivf_pid = np.full(len(ivf) + IVF_PAD, sentinel_pid, np.int32)
         ivf_pid[: len(ivf)] = emb2pid[ivf]
-        ivf_pid[len(ivf)] = sentinel_pid
-
-        max_doclen = int(doclens.max()) if P else 1
-        max_doclen = max(32, -(-max_doclen // 32) * 32)
 
         return cls(
             centroids=jnp.asarray(centroids, jnp.float32),
@@ -494,13 +516,34 @@ class DeviceIndex:
 
 
 # ---------------------------------------------------------------------------
-# search core (single query; vmapped over the batch)
+# search core (single query; vmapped over the batch — probing excepted)
 # ---------------------------------------------------------------------------
+
+
+def _probe_topk(Q_flat, probe_cents, *, nprobe: int, probe_ncells=None):
+    """Probe ALL queries' tokens against the probe table in ONE flat
+    (B*Lq, K') matmul + top_k (reference ranking.jl:27-31).
+
+    This runs OUTSIDE the per-query vmap on purpose: measured on v5e at 1M
+    geometry (K'=131k, B=64), the identical math under the vmap costs
+    470 ms/batch while this flat formulation costs 82 ms — XLA tiles one
+    big MXU matmul well but schedules B per-query ones pathologically."""
+    cscores = jnp.dot(
+        Q_flat, probe_cents.T, preferred_element_type=jnp.float32
+    )  # (B*Lq, K')
+    if probe_ncells is not None:
+        # sharded probe tables are padded to a common K' across shards; pad
+        # rows must never win a probe slot (they would tie with whatever
+        # cell's centroid fills them and crowd out real cells)
+        col = jnp.arange(cscores.shape[1], dtype=jnp.int32)
+        cscores = jnp.where(col[None, :] < probe_ncells, cscores, NEG)
+    return jax.lax.top_k(cscores, nprobe)  # (B*Lq, nprobe) scores, cells
 
 
 def _search_core(
     Q,                     # (Lq, dim) f32
-    centroids, probe_cents, codes, residuals, ivf, ivf_offsets, ivf_lengths,
+    probe_scores, cells,   # (Lq, nprobe) — from _probe_topk, reshaped
+    centroids, codes, residuals, ivf, ivf_offsets, ivf_lengths,
     doclens, emb_offsets, bucket_weights,
     *, sentinel_pid: int, nbits: int, max_doclen: int,
     k: int, nprobe: int, ncandidates: int, cell_cap: int, max_candidates: int,
@@ -511,20 +554,6 @@ def _search_core(
     probe_ncells=None,  # traced scalar: valid probe-table rows (sharded pads)
 ):
     Lq, dim = Q.shape
-    sentinel_eid = codes.shape[0] - 1
-
-    # --- 1. centroid scores + probed cells (reference ranking.jl:27-31) ---
-    # probing runs over the (possibly balanced/duplicated) probe table
-    cscores_probe = jnp.dot(
-        Q, probe_cents.T, preferred_element_type=jnp.float32
-    )  # (Lq, k')
-    if probe_ncells is not None:
-        # sharded probe tables are padded to a common K' across shards; pad
-        # rows must never win a probe slot (they would tie with whatever
-        # cell's centroid fills them and crowd out real cells)
-        col = jnp.arange(cscores_probe.shape[1], dtype=jnp.int32)
-        cscores_probe = jnp.where(col[None, :] < probe_ncells, cscores_probe, NEG)
-    probe_scores, cells = jax.lax.top_k(cscores_probe, nprobe)  # (Lq, nprobe)
 
     # PLAID cell pruning (PAPERS.md PLAID; the reference has no staged
     # pruning at all): probed cells whose centroid score falls below
@@ -539,15 +568,30 @@ def _search_core(
     keep_cell = keep_cell.reshape(-1)
     entry_score = probe_scores.reshape(-1)                    # (ncells,)
 
-    # --- 2. padded IVF gather (reference ranking.jl:7-21) ---
-    # the device IVF holds PIDS (mapped from eids at build): one random
-    # gather per probed entry, not two
+    # --- 2. padded IVF read (reference ranking.jl:7-21) ---
+    # the device IVF holds PIDS (mapped from eids at build): one contiguous
+    # read per probed cell, not element gathers. Cells are contiguous runs,
+    # so a vmapped dynamic_slice (-> XLA gather with slice_sizes=cell_cap)
+    # reads each probed cell as ONE contiguous HBM burst — measured on v5e
+    # at 1M geometry: 256 ms -> 81 ms per 64-query batch vs the clamped
+    # element-gather formulation. Cell offsets never exceed the entry count
+    # (balance_cells never emits zero-length sub-cells past it), so the
+    # IVF_PAD tail pad (build()) keeps every window in bounds for
+    # cell_cap <= IVF_PAD; larger caps fall back to element gathers.
     base = ivf_offsets[cells]                                   # (ncells,)
     lens = jnp.where(keep_cell, ivf_lengths[cells], 0)
     ar = jnp.arange(cell_cap, dtype=jnp.int32)
-    idx = base[:, None] + jnp.minimum(ar[None, :], jnp.maximum(lens[:, None] - 1, 0))
     valid = ar[None, :] < lens[:, None]
-    pids_e = jnp.where(valid, ivf[idx], sentinel_pid)           # (ncells, cell_cap)
+    if cell_cap <= IVF_PAD:
+        rows = jax.vmap(
+            lambda b: jax.lax.dynamic_slice(ivf, (b,), (cell_cap,))
+        )(base)                                                 # (ncells, cell_cap)
+    else:
+        idx = base[:, None] + jnp.minimum(
+            ar[None, :], jnp.maximum(lens[:, None] - 1, 0)
+        )
+        rows = ivf[idx]
+    pids_e = jnp.where(valid, rows, sentinel_pid)               # (ncells, cell_cap)
 
     # --- 3+4. on-device pid dedup + stage-1 ranking, gather-free ---
     # Every IVF entry already carries its originating cell's centroid score
@@ -577,28 +621,34 @@ def _search_core(
     flat_adj = jnp.where(valid.reshape(-1), flat_adj, NEG)
     flat_q = jnp.broadcast_to(q_of[:, None], valid.shape).reshape(-1)
 
-    # sort entries by (pid, q): ONE int32 composite-key sort (scores stay
-    # OUT of the key — per-(pid, q) maxima come from a segment_max after the
-    # sort), valid for corpora up to 2^31 / next_pow2(Lq) passages (67M at
-    # Lq=32); beyond that, a two-key lexicographic sort. Both paths use
-    # ``lax.sort`` with the score CARRIED as an operand: argsort + gathers
-    # would add three more random gathers per entry (the TPU-slow op), and
-    # no stability is needed — entries tied on (pid, q) are interchangeable
-    # under the downstream segment_max.
+    # sort entries by (pid, q, score DESC): ONE int32 composite primary key
+    # (valid for corpora up to 2^31 / next_pow2(Lq) passages — 67M at
+    # Lq=32; beyond that, a three-key lexicographic sort) with the NEGATED
+    # score as the secondary key, so each (pid, q) run's HEAD carries the
+    # run max. That kills the segment_max scatter the previous formulation
+    # paid after the sort (measured on v5e at 1M geometry: the scatter-based
+    # stage-1 cost 422 ms/batch, this one 182 ms). ``lax.sort`` with carried
+    # keys beats argsort + gathers (+23% QPS, round 3); no stability is
+    # needed — entries tied on (pid, q, score) are interchangeable.
     qbits = max(1, (Lq - 1).bit_length())
+    neg_adj = -flat_adj  # ascending == score descending; invalid -> +1e30, last
     if sentinel_pid < (1 << (31 - qbits)) and not force_float_sort:
         key = (flat_pids.astype(jnp.int32) << qbits) | flat_q
-        key_sorted, a2 = jax.lax.sort((key, flat_adj), num_keys=1)
+        key_sorted, na2 = jax.lax.sort((key, neg_adj), num_keys=2)
         p2 = key_sorted >> qbits
         q2 = key_sorted & ((1 << qbits) - 1)
-    else:
-        p2, q2, a2 = jax.lax.sort(
-            (flat_pids, flat_q, flat_adj), num_keys=2
+        changed = jnp.concatenate(
+            [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]]
         )
+    else:
+        p2, q2, na2 = jax.lax.sort(
+            (flat_pids, flat_q, neg_adj), num_keys=3
+        )
+        changed = jnp.concatenate(
+            [jnp.ones((1,), bool), (p2[1:] != p2[:-1]) | (q2[1:] != q2[:-1])]
+        )
+    a2 = -na2
 
-    changed = jnp.concatenate(
-        [jnp.ones((1,), bool), (p2[1:] != p2[:-1]) | (q2[1:] != q2[:-1])]
-    )
     first_p = jnp.concatenate([jnp.ones((1,), bool), p2[1:] != p2[:-1]])
     real = p2 != sentinel_pid
     first_pq = changed & real
@@ -613,64 +663,71 @@ def _search_core(
         sel_width = ncandidates
     overflow = jnp.maximum(0, n_unique - sel_width)
 
-    # per-pid stage-1 score = segment-sum of per-(pid, q) maxima. Ranking
-    # uses the MIDPOINT of the probed bounds: the upper bound imputes every
-    # unprobed query token at its nprobe-th probe score (candidate-
-    # independent constant => contribution s - impute_q), the lower bound
-    # imputes 0 (contribution s). The midpoint tracks PLAID's full centroid
-    # stage-1 better than either bound and keeps the hit-count signal that
-    # the pure upper bound loses entirely at nprobe=1.
+    # per-pid stage-1 score = per-pid-run sum of per-(pid, q) maxima, which
+    # after the score-descending sort are exactly the (pid, q) run heads.
+    # Ranking uses the MIDPOINT of the probed bounds: the upper bound
+    # imputes every unprobed query token at its nprobe-th probe score
+    # (candidate-independent constant => contribution s - impute_q), the
+    # lower bound imputes 0 (contribution s). The midpoint tracks PLAID's
+    # full centroid stage-1 better than either bound and keeps the
+    # hit-count signal that the pure upper bound loses at nprobe=1.
+    # Per-pid sums come from a cumsum DIFFERENCE between run boundaries
+    # instead of a segment_sum scatter (TPU scatters are the cost; the one
+    # remaining gather, csum[run_end], is unavoidable but 1-per-entry).
     E = p2.shape[0]
-    seg_pq = jnp.cumsum(changed) - 1                             # (E,)
-    pq_max = jax.ops.segment_max(a2, seg_pq, num_segments=E)
-    seg = jnp.cumsum(first_p) - 1                                # (E,)
     # unclamped: contribution (s - i_q) + i_q/2 = s - i_q/2, the midpoint,
     # for negative nprobe-th scores too (clamping only one side would
     # inflate hits on negative-impute query tokens)
     half_imp = impute[q2] * 0.5
-    contrib = jnp.where(
-        first_pq, jnp.maximum(pq_max[seg_pq], 0.0) + half_imp, 0.0
-    )
-    seg_sum = jax.ops.segment_sum(contrib, seg, num_segments=E)
-    stage1 = jnp.where(first, seg_sum[seg], NEG)                 # (E,)
+    contrib = jnp.where(first_pq, jnp.maximum(a2, 0.0) + half_imp, 0.0)
+    csum = jnp.cumsum(contrib)
+    csum_prev = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
+    idx = jnp.arange(E, dtype=jnp.int32)
+    # next pid-run head strictly after i, via reverse cummin (E = none):
+    # run_end(head i) = next_head - 1, or E-1 for the last run
+    headpos = jnp.where(first_p, idx, E)
+    nxt = jax.lax.cummin(headpos[::-1])[::-1]      # head at-or-after i
+    nxt2 = jnp.concatenate([nxt[1:], jnp.full((1,), E, jnp.int32)])
+    run_end = nxt2 - 1                              # in [i, E-1] at heads
+    stage1 = jnp.where(first, csum[run_end] - csum_prev, NEG)   # (E,)
 
-    def tok_gather(pids_sel):
-        dl = doclens[pids_sel]
-        off = emb_offsets[pids_sel]
-        arl = jnp.arange(max_doclen, dtype=jnp.int32)
-        ti = off[:, None] + jnp.minimum(
-            arl[None, :], jnp.maximum(dl[:, None] - 1, 0)
-        )
-        tv = arl[None, :] < dl[:, None]
-        return jnp.where(tv, ti, sentinel_eid), tv
+    def tok_meta(pids_sel):
+        # stage-2 reads each candidate's token rows as ONE contiguous
+        # (max_doclen,) dynamic_slice from its embedding offset (codes and
+        # residuals carry max_doclen zeroed tail rows, build()) — all a
+        # consumer needs is (offset, doclen)
+        return emb_offsets[pids_sel], doclens[pids_sel]
 
     if stage1_refine and ncandidates < max_candidates:
         # hybrid funnel: the probed bound cannot separate near-duplicate
         # candidates (same cells -> tied scores), so take a (up to) 4x-wide
         # cut by the cheap bound, then rank those by the FULL centroid
-        # interaction (token-code gather — expensive, but over <=4*NC rows
+        # interaction (token-code reads — expensive, but over <=4*NC rows
         # instead of all candidates) before the stage-2 budget.
         width = min(4 * ncandidates, max_candidates)
         w_vals, w_idx = jax.lax.top_k(stage1, width)
         w_pids = jnp.where(w_vals > NEG / 2, p2[w_idx], sentinel_pid)
-        w_tok_idx, w_tok_valid = tok_gather(w_pids)
+        w_off, w_dl = tok_meta(w_pids)
         # the refine scores tokens by their CODEC centroid ids
-        approx = _approx_maxsim(Q, centroids, codes, w_tok_idx, w_tok_valid)
+        approx = _approx_maxsim(
+            Q, centroids, codes, w_off, w_dl, max_doclen=max_doclen
+        )
         approx = jnp.where(w_pids == sentinel_pid, NEG, approx)
         _, keep_rows = jax.lax.top_k(approx, ncandidates)
         fin_pids = w_pids[keep_rows]
-        fin_tok_idx = w_tok_idx[keep_rows]
-        fin_valid = w_tok_valid[keep_rows]
+        fin_off = w_off[keep_rows]
+        fin_dl = w_dl[keep_rows]
     else:
         # exact top-ncandidates (cheaper than a full argsort of E entries)
         top_vals, top_idx = jax.lax.top_k(stage1, ncandidates)
         fin_pids = jnp.where(top_vals > NEG / 2, p2[top_idx], sentinel_pid)
-        fin_tok_idx, fin_valid = tok_gather(fin_pids)
+        fin_off, fin_dl = tok_meta(fin_pids)
 
     # --- 5. stage-2: chunked fused decompress + MaxSim on survivors ---
     scores = _stage2_scores(
         Q, codes, residuals, centroids, bucket_weights,
-        fin_tok_idx, fin_valid, nbits=nbits, use_pallas=use_pallas,
+        fin_off, fin_dl, max_doclen=max_doclen, nbits=nbits,
+        use_pallas=use_pallas,
     )
     scores = jnp.where(fin_pids == sentinel_pid, NEG, scores)
 
@@ -679,50 +736,74 @@ def _search_core(
     return fin_pids[top_rows], top_scores, overflow
 
 
-def _approx_maxsim(Q, centroids, codes, tok_idx, tok_valid, *, chunk: int = 256):
+def _slice_rows(table, offs, Ld: int):
+    """Read a contiguous ``Ld``-element window per offset from a 1-D table:
+    vmapped dynamic_slice -> XLA gather with ``slice_sizes=Ld`` ->
+    contiguous HBM bursts. Candidate token rows ARE contiguous runs
+    (off + [0..doclen)), but the element-gather formulation hid that from
+    XLA — TPU scalar gathers run ~100x below HBM peak. Measured on v5e at
+    1M geometry (B=64, width 4096): the refine dropped 1152 -> 540 ms/batch
+    on this change alone. Requires ``table`` to carry >= Ld zeroed tail
+    rows (build() pads codes/residuals by max_doclen; offsets never exceed
+    N). 1-D ONLY: a 2-D dynamic_slice over the u8 residuals makes XLA
+    re-tile the whole operand into (8,128)(4,1) layout — a 4x-padded copy
+    of the full array (13 GB -> hbm OOM at 1M, measured); residual rows
+    stay on the row-gather formulation instead."""
+    return jax.vmap(
+        lambda b: jax.lax.dynamic_slice(table, (b,), (Ld,))
+    )(offs)
+
+
+def _approx_maxsim(Q, centroids, codes, offs, dls, *, max_doclen: int,
+                   chunk: int = 256):
     """Full centroid-interaction approximation: sum_q max_t <q, cent[code(t)]>
     over valid tokens, chunked.
 
-    Formulated as a SHARED-table row gather + MXU matmul: gather each
-    candidate token's centroid row (bf16) from the replicated codec table,
-    then one (chunk·Ld, dim) x (dim, Lq) matmul per chunk. The previous
-    formulation gathered from a per-query (Lq, k) score table — that table
-    carries the vmap batch dim, and XLA lowers a batched-operand gather
-    ~20x slower than the same gather from a shared table (measured on v5e:
-    refine 2.2 s -> ~0.2 s per B=64 batch at 141k). Bf16 rows round the
-    approximation by ~1e-2 relative — it is a pruning score, and the 4x
-    selection window absorbs that noise."""
-    MC, Ld = tok_idx.shape
+    Token codes are read as contiguous per-candidate slices (see
+    :func:`_slice_rows`), then scored as a SHARED-table row gather + MXU
+    matmul: gather each candidate token's centroid row (bf16) from the
+    replicated codec table, then one (chunk·Ld, dim) x (dim, Lq) matmul per
+    chunk. A per-query (Lq, k) score-table gather would carry the vmap batch
+    dim, and XLA lowers a batched-operand gather ~20x slower than the same
+    gather from a shared table (measured on v5e: refine 2.2 s -> ~0.2 s per
+    B=64 batch at 141k). Bf16 rows round the approximation by ~1e-2
+    relative — it is a pruning score, and the 4x selection window absorbs
+    that noise."""
+    MC = offs.shape[0]
     Lq, dim = Q.shape
+    Ld = max_doclen
     cent16 = centroids.astype(jnp.bfloat16)
     q16 = Q.astype(jnp.bfloat16)
     nchunks = max(1, -(-MC // chunk))
     padded = nchunks * chunk
-    idx_p = jnp.pad(tok_idx, ((0, padded - MC), (0, 0))).reshape(nchunks, chunk, Ld)
-    valid_p = jnp.pad(tok_valid, ((0, padded - MC), (0, 0))).reshape(nchunks, chunk, Ld)
+    off_p = jnp.pad(offs, (0, padded - MC)).reshape(nchunks, chunk)
+    dl_p = jnp.pad(dls, (0, padded - MC)).reshape(nchunks, chunk)
+    arl = jnp.arange(Ld, dtype=jnp.int32)
 
     def one(args):
-        ti, v = args
-        flat = ti.reshape(chunk * Ld)
-        rows = cent16[codes[flat].astype(jnp.int32)]      # (chunk*Ld, dim)
+        off, dl = args
+        cd = _slice_rows(codes, off, Ld)                  # (chunk, Ld)
+        rows = cent16[cd.reshape(chunk * Ld).astype(jnp.int32)]
         s = jnp.dot(rows, q16.T, preferred_element_type=jnp.float32)
         s = s.reshape(chunk, Ld, Lq)
+        v = arl[None, :] < dl[:, None]                    # (chunk, Ld)
         s = jnp.where(v[:, :, None], s, NEG)
         per_q = jnp.max(s, axis=1)                        # (chunk, Lq)
-        any_tok = jnp.any(v, axis=-1)[:, None]
-        per_q = jnp.where(any_tok, per_q, 0.0)
+        per_q = jnp.where((dl > 0)[:, None], per_q, 0.0)
         return jnp.sum(per_q, axis=-1)                    # (chunk,)
 
-    out = jax.lax.map(one, (idx_p, valid_p))
+    out = jax.lax.map(one, (off_p, dl_p))
     return out.reshape(padded)[:MC]
 
 
 def _stage2_scores(
-    Q, codes, residuals, centroids, bucket_weights, tok_idx, tok_valid,
-    *, nbits: int, chunk: int = 128, use_pallas: bool = False,
+    Q, codes, residuals, centroids, bucket_weights, offs, dls,
+    *, max_doclen: int, nbits: int, chunk: int = 128, use_pallas: bool = False,
 ):
     """Fused decompress+MaxSim, chunked over candidates so the fp32
-    embeddings of only ``chunk`` passages are ever live.
+    embeddings of only ``chunk`` passages are ever live. Candidate token
+    codes/residuals are read as contiguous per-candidate slices
+    (:func:`_slice_rows`).
 
     ``use_pallas`` routes each chunk through the pallas kernel
     (:mod:`colbert_tpu.ops.fused_maxsim`): bit-unpack + bucket decode +
@@ -733,12 +814,14 @@ def _stage2_scores(
     kernel's flat cost profile across batch buckets is why it is the
     default. Exact to ~1e-6 where XLA's fp32 einsum carries bf16-pass error.
     """
-    NC, Ld = tok_idx.shape
+    NC = offs.shape[0]
     Lq, dim = Q.shape
+    Ld = max_doclen
     nchunks = max(1, -(-NC // chunk))
     padded = nchunks * chunk
-    idx_p = jnp.pad(tok_idx, ((0, padded - NC), (0, 0))).reshape(nchunks, chunk, Ld)
-    valid_p = jnp.pad(tok_valid, ((0, padded - NC), (0, 0))).reshape(nchunks, chunk, Ld)
+    off_p = jnp.pad(offs, (0, padded - NC)).reshape(nchunks, chunk)
+    dl_p = jnp.pad(dls, (0, padded - NC)).reshape(nchunks, chunk)
+    arl = jnp.arange(Ld, dtype=jnp.int32)
 
     if use_pallas:
         from colbert_tpu.ops.fused_maxsim import stage2_maxsim_pallas
@@ -748,37 +831,44 @@ def _stage2_scores(
         ldb = 8 if Ld % 8 == 0 else Ld
 
         def one_pl(args):
-            ti, v = args
-            flat = ti.reshape(chunk * Ld)
-            cent_rows = centroids[codes[flat].astype(jnp.int32)].reshape(
-                chunk, Ld, dim
-            )
-            pk = residuals[flat].reshape(chunk, Ld, -1)
+            off, dl = args
+            cd = _slice_rows(codes, off, Ld)              # (chunk, Ld)
+            # residual ROWS via gather (unclamped indices stay in bounds
+            # thanks to the max_doclen tail pad; out-of-doc rows are masked
+            # after scoring) — see _slice_rows for why not a 2-D slice
+            ti = off[:, None] + arl[None, :]
+            pk = residuals[ti.reshape(-1)].reshape(chunk, Ld, -1)
+            v = arl[None, :] < dl[:, None]
+            cent_rows = centroids[
+                cd.reshape(chunk * Ld).astype(jnp.int32)
+            ].reshape(chunk, Ld, -1)
             per_q = stage2_maxsim_pallas(
                 Qp, cent_rows, pk, v, bucket_weights, nbits=nbits,
                 bc=chunk, ldb=ldb,
             )[:Lq]                                   # (Lq, chunk)
-            any_tok = jnp.any(v, axis=-1)[None, :]
-            per_q = jnp.where(any_tok, per_q, 0.0)
+            per_q = jnp.where((dl > 0)[None, :], per_q, 0.0)
             return jnp.sum(per_q, axis=0)            # (chunk,)
 
-        out = jax.lax.map(one_pl, (idx_p, valid_p))
+        out = jax.lax.map(one_pl, (off_p, dl_p))
         return out.reshape(padded)[:NC]
 
     def one(args):
-        ti, v = args
-        flat = ti.reshape(chunk * Ld)
+        off, dl = args
+        cd = _slice_rows(codes, off, Ld)                  # (chunk, Ld)
+        ti = off[:, None] + arl[None, :]                  # in bounds (tail pad)
+        rs = residuals[ti.reshape(-1)]                    # (chunk*Ld, nbytes)
+        v = arl[None, :] < dl[:, None]
         embs = codec_ops.decompress(
-            codes[flat], residuals[flat], centroids, bucket_weights, nbits=nbits
-        ).reshape(chunk, Ld, dim)
+            cd.reshape(-1), rs, centroids,
+            bucket_weights, nbits=nbits,
+        ).reshape(chunk, Ld, -1)
         s = jnp.einsum("qd,pld->pql", Q, embs, preferred_element_type=jnp.float32)
         s = jnp.where(v[:, None, :], s, NEG)
         per_q = jnp.max(s, axis=-1)              # (chunk, Lq)
-        any_tok = jnp.any(v, axis=-1)[:, None]
-        per_q = jnp.where(any_tok, per_q, 0.0)
+        per_q = jnp.where((dl > 0)[:, None], per_q, 0.0)
         return jnp.sum(per_q, axis=-1)           # (chunk,)
 
-    out = jax.lax.map(one, (idx_p, valid_p))
+    out = jax.lax.map(one, (off_p, dl_p))
     return out.reshape(padded)[:NC]
 
 
@@ -789,19 +879,37 @@ _STATIC = (
 )
 
 
+def _probe_then_search(
+    Q, centroids, probe_cents, codes, residuals, ivf, ivf_offsets,
+    ivf_lengths, doclens, emb_offsets, bucket_weights, **static,
+):
+    """Flat batched probe (see :func:`_probe_topk`), then the per-query
+    search core vmapped with the probed cells as batched inputs."""
+    B, Lq, dim = Q.shape
+    nprobe = static["nprobe"]
+    ps, cl = _probe_topk(Q.reshape(B * Lq, dim), probe_cents, nprobe=nprobe)
+    ps = ps.reshape(B, Lq, nprobe)
+    cl = cl.reshape(B, Lq, nprobe)
+
+    def one(q, p, c):
+        return _search_core(
+            q, p, c, centroids, codes, residuals, ivf, ivf_offsets,
+            ivf_lengths, doclens, emb_offsets, bucket_weights,
+            **static,
+        )
+
+    return jax.vmap(one)(Q, ps, cl)
+
+
 @functools.partial(jax.jit, static_argnames=_STATIC)
 def _search_batch(
     Q, centroids, probe_cents, codes, residuals, ivf, ivf_offsets, ivf_lengths,
     doclens, emb_offsets, bucket_weights, **static,
 ):
-    def one(q):
-        return _search_core(
-            q, centroids, probe_cents, codes, residuals, ivf, ivf_offsets,
-            ivf_lengths, doclens, emb_offsets, bucket_weights,
-            **static,
-        )
-
-    return jax.vmap(one)(Q)
+    return _probe_then_search(
+        Q, centroids, probe_cents, codes, residuals, ivf, ivf_offsets,
+        ivf_lengths, doclens, emb_offsets, bucket_weights, **static,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=_STATIC + ("bert_cfg", "dtype_name"))
@@ -818,12 +926,7 @@ def _search_tokens(
         params, input_ids, attention_mask, keep, cfg=bert_cfg,
         dtype_name=dtype_name,
     )
-
-    def one(q):
-        return _search_core(
-            q, centroids, probe_cents, codes, residuals, ivf, ivf_offsets,
-            ivf_lengths, doclens, emb_offsets, bucket_weights,
-            **static,
-        )
-
-    return jax.vmap(one)(Q)
+    return _probe_then_search(
+        Q, centroids, probe_cents, codes, residuals, ivf, ivf_offsets,
+        ivf_lengths, doclens, emb_offsets, bucket_weights, **static,
+    )

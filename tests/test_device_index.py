@@ -265,3 +265,23 @@ def test_float_sort_fallback_matches_int_path(built):
     p_flt, s_flt = s.device_index.search_Q_batch(Q, force_float_sort=True, **kw)
     np.testing.assert_array_equal(p_int, p_flt)
     np.testing.assert_allclose(s_int, s_flt, rtol=1e-5, atol=1e-5)
+
+
+def test_gather_fallback_beyond_ivf_pad_matches_sliced_path(built):
+    """cell_cap > IVF_PAD routes the IVF cell reads through the clamped
+    element-gather fallback (the dynamic_slice window would run past the
+    tail pad); it must produce identical results to the sliced path. Both
+    caps cover every cell of this corpus in full, so outputs must match."""
+    import jax.numpy as jnp
+
+    from colbert_tpu.retrieval.device_index import IVF_PAD
+
+    cfg, encoder, passages, path = built
+    s = Searcher(path, encoder=encoder)
+    assert int(np.asarray(s.device_index.ivf_lengths).max()) <= 1024
+    Q = jnp.asarray(encoder.encode_queries([passages[7], passages[52]]))
+    kw = dict(k=5, nprobe=4, ncandidates=64, max_candidates=256)
+    p_sl, s_sl = s.device_index.search_Q_batch(Q, cell_cap=1024, **kw)
+    p_ga, s_ga = s.device_index.search_Q_batch(Q, cell_cap=IVF_PAD + 1, **kw)
+    np.testing.assert_array_equal(p_sl, p_ga)
+    np.testing.assert_allclose(s_sl, s_ga, rtol=1e-5, atol=1e-5)
