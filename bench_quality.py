@@ -16,9 +16,12 @@ retrieval quality against a ground-truth signal):
      and funnel recall@10/@100 vs the exhaustive exact-codec oracle across
      the bench's operating points, plus self-retrieval success@1.
 
-Usage: ``python bench_quality.py [n_passages] [train_steps] [num_partitions]``
-(defaults 141431, 300, planner formula). Prints one JSON summary line;
-committed run log in SCALE.md §quality.
+Usage: ``python bench_quality.py [n_passages] [train_steps] [num_partitions]
+[balance_cap]`` (defaults 141431, 300, planner formula, 1024). The last two
+are the per-corpus A/B knobs (config.num_partitions / ivf_balance_cap): a
+TRAINED encoder concentrates topic clusters, so at 1M the cap's truncation
+(472k entries at cap=1024) is the recall suspect. Prints one JSON summary
+line; committed run log in SCALE.md §quality.
 """
 
 from __future__ import annotations
@@ -109,6 +112,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 141_431
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     partitions = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    balance_cap = int(sys.argv[4]) if len(sys.argv) > 4 else None
     import jax.numpy as jnp
 
     from colbert_tpu.indexing.builder import Indexer
@@ -120,6 +124,9 @@ def main() -> None:
     if partitions:
         cfg.num_partitions = partitions
         log(f"num_partitions override: {partitions}")
+    if balance_cap is not None:
+        cfg.ivf_balance_cap = balance_cap
+        log(f"ivf_balance_cap override: {balance_cap}")
     passages = synthetic_passages(n)
     log(f"corpus: {n} passages, {N_TOPICS} topics")
 

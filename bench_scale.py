@@ -125,11 +125,15 @@ def main() -> None:
             f"effective nprobe {s.device_index.compensated_nprobe(cfg.nprobe)})")
 
         queries = synthetic_queries(192, n_words=n_words, n_topics=n_topics)
-        for B in (32, 64):
+        # B=128 included: at 4k it is the best quality-first operating
+        # point (amortizes the fixed per-batch funnel cost further)
+        for B in (32, 64, 128):
             qps = _time_qps(s, queries, B)
             log(f"batched search (B={B}, warm, quality-first): {qps:.1f} QPS/chip")
         s.config.plaid_stage1_refine = False
         s.config.probe_dup_compensation = False
+        qps_fast = _time_qps(s, queries, 128)
+        log(f"batched search (B=128, warm, throughput-tuned): {qps_fast:.1f} QPS/chip")
         qps_fast = _time_qps(s, queries, 64)
         log(f"batched search (B=64, warm, throughput-tuned): {qps_fast:.1f} QPS/chip")
         s.config.plaid_stage1_refine = True
