@@ -373,64 +373,13 @@ def _time_qps(s, queries, B: int, reps: int = 3, k: int = 10) -> float:
     return reps * B / (time.time() - t)
 
 
-def exhaustive_scores(s, Q) -> np.ndarray:
-    """Exact-codec oracle: decompress+MaxSim EVERY passage (no funnel) ->
-    (B, P) scores. This scores what the reference scores when its probes
-    surface everything (ranking.jl:23-87) and is the yardstick the funnel's
-    recall is measured against.
-
-    Streams one contiguous pid block's rows at a time from the chunk mmaps
-    (``format.read_embedding_rows``) — host RSS stays at one block, not the
-    whole packed index (the pre-round-4 double-load owned the 19 GB RSS
-    peak of the 1M oracle run)."""
-    import jax.numpy as jnp
-
-    from colbert_tpu.retrieval import ranking
-    from colbert_tpu.storage import format as fmt
-
-    doclens = np.asarray(s.doclens, np.int64)
-    offsets = np.concatenate([[0], np.cumsum(doclens)]).astype(np.int64)
-    P = len(doclens)
-    scores = np.full((Q.shape[0], P), -np.inf, np.float32)
-    CH = 1024
-    for lo in range(0, P, CH):
-        hi = min(P, lo + CH)
-        r0, r1 = int(offsets[lo]), int(offsets[hi])
-        codes_blk, res_blk = fmt.read_embedding_rows(s.index_path, r0, r1)
-        idx, mask = ranking.gather_padded(
-            np.arange(hi - lo), doclens[lo:hi], offsets[lo:hi] - r0
-        )
-        sc = ranking.score_full(
-            Q, jnp.asarray(codes_blk[idx]), jnp.asarray(res_blk[idx]),
-            jnp.asarray(mask), s.centroids, s.bucket_weights,
-            nbits=s.config.nbits,
-        )
-        scores[:, lo:hi] = np.asarray(sc)[:, :hi - lo]
-    return scores
-
-
-def _recall(got: np.ndarray, oracle: np.ndarray, k: int) -> float:
-    """Set recall@k: |funnel top-k ∩ oracle top-k| / k."""
-    hits = [
-        len(set(got[b, :k].tolist()) & set(oracle[b, :k].tolist())) / k
-        for b in range(got.shape[0])
-    ]
-    return float(np.mean(hits))
-
-
-def _score_recall(
-    got: np.ndarray, oracle_scores: np.ndarray, k: int, eps: float = 0.01
-) -> float:
-    """Tie-aware recall@k: fraction of the funnel's top-k whose EXACT score
-    reaches the oracle's k-th best (within eps). On corpora with many
-    near-tied passages (this synthetic one: random weights over topic-window
-    token sets) set-recall charges the funnel for returning a different but
-    equally-scored passage; score-recall doesn't."""
-    kth = -np.sort(-oracle_scores, axis=1)[:, k - 1]  # (B,)
-    idx = np.clip(got[:, :k], 0, oracle_scores.shape[1] - 1)
-    got_scores = np.take_along_axis(oracle_scores, idx, axis=1)
-    got_scores = np.where(got[:, :k] >= 0, got_scores, -np.inf)
-    return float((got_scores >= kth[:, None] - eps).mean())
+# promoted into the package (used by the autotuner as well as the bench
+# suite); the bench-local names stay for bench_scale/bench_quality imports
+from colbert_tpu.evaluation.metrics import (  # noqa: E402
+    score_recall_at_k as _score_recall,
+    set_recall_at_k as _recall,
+)
+from colbert_tpu.evaluation.oracle import exhaustive_scores  # noqa: E402, F401
 
 
 def serve_and_probe(encoder, cfg, tmp, passages, n) -> None:

@@ -15,7 +15,8 @@ from typing import Mapping, Sequence
 
 import numpy as np
 
-__all__ = ["mrr_at_k", "success_at_k", "ndcg_at_k", "lcs_distance", "lcs_hit_rate"]
+__all__ = ["mrr_at_k", "success_at_k", "ndcg_at_k", "lcs_distance",
+           "lcs_hit_rate", "set_recall_at_k", "score_recall_at_k"]
 
 
 def mrr_at_k(
@@ -91,3 +92,26 @@ def lcs_hit_rate(
         if any(lcs_distance(c, gold) < threshold for c in cands):
             hits += 1
     return hits / max(1, len(gold_texts))
+
+
+def set_recall_at_k(got: np.ndarray, oracle_topk: np.ndarray, k: int) -> float:
+    """Set recall@k vs an oracle ranking: |got top-k ∩ oracle top-k| / k."""
+    hits = [
+        len(set(got[b, :k].tolist()) & set(oracle_topk[b, :k].tolist())) / k
+        for b in range(got.shape[0])
+    ]
+    return float(np.mean(hits))
+
+
+def score_recall_at_k(
+    got: np.ndarray, oracle_scores: np.ndarray, k: int, eps: float = 0.01
+) -> float:
+    """Tie-aware recall@k: fraction of the funnel's top-k whose EXACT score
+    reaches the oracle's k-th best (within ``eps``). On corpora with many
+    near-tied passages, set-recall charges the funnel for returning a
+    different but equally-scored passage; score-recall doesn't."""
+    kth = -np.sort(-oracle_scores, axis=1)[:, k - 1]  # (B,)
+    idx = np.clip(got[:, :k], 0, oracle_scores.shape[1] - 1)
+    got_scores = np.take_along_axis(oracle_scores, idx, axis=1)
+    got_scores = np.where(got[:, :k] >= 0, got_scores, -np.inf)
+    return float((got_scores >= kth[:, None] - eps).mean())

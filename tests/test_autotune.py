@@ -1,0 +1,128 @@
+"""Operating-point auto-tuner: oracle parity, selection semantics, apply().
+
+The tuner sweeps the real device program against the exact-codec oracle
+(the reference's un-pruned scoring, ranking.jl:23-87), so its recall
+numbers must agree with brute force and its chosen point must be the
+cheapest one meeting the target.
+"""
+
+import numpy as np
+import pytest
+
+from colbert_tpu.config import ColBERTConfig
+from colbert_tpu.evaluation.autotune import (
+    OperatingPoint,
+    tune_operating_point,
+)
+from colbert_tpu.evaluation.oracle import exhaustive_scores, oracle_topk
+from colbert_tpu.indexing.builder import Indexer
+from colbert_tpu.retrieval.searcher import Searcher
+from colbert_tpu.utils.testing import make_encoder, synthetic_collection
+
+
+@pytest.fixture(scope="module")
+def tuned_setup(tmp_path_factory):
+    cfg = ColBERTConfig(
+        dim=32, doc_maxlen=64, query_maxlen=16, index_bsize=8,
+        length_bucket=16, chunksize=32, nbits=2, kmeans_niters=6, nprobe=2,
+        search_max_candidates=64,
+    )
+    encoder = make_encoder(dim=32, seed=0, config=cfg)
+    passages = synthetic_collection(64, seed=1)
+    path = str(tmp_path_factory.mktemp("tune") / "idx")
+    Indexer(cfg, encoder=encoder, collection=passages).index(path)
+    searcher = Searcher(path, encoder=encoder)
+    queries = [p[:64] for p in passages[:8]]
+    return searcher, queries
+
+
+def test_oracle_matches_searcher_bruteforce(tuned_setup):
+    import jax.numpy as jnp
+
+    searcher, queries = tuned_setup
+    Q = jnp.asarray(searcher.encoder.encode_queries(queries))
+    scores = exhaustive_scores(searcher, Q)
+    assert scores.shape == (len(queries), len(np.asarray(searcher.doclens)))
+    # self-retrieval: each query is its own passage's prefix -> its pid wins
+    top1 = oracle_topk(scores, 1)[:, 0]
+    assert (top1 == np.arange(len(queries))).mean() == 1.0
+
+
+GRID = (
+    OperatingPoint(0, 8, stage1_refine=False),
+    OperatingPoint(0, 64, stage1_refine=False),
+    OperatingPoint(0, 64, stage1_refine=True),
+)
+
+
+def test_tune_picks_cheapest_qualifying_point(tuned_setup):
+    searcher, queries = tuned_setup
+    res = tune_operating_point(
+        searcher, queries, k=4, target_score_recall=0.9,
+        grid=GRID, time_reps=0,
+    )
+    assert len(res.table) == len(GRID)
+    for t in res.table:
+        assert 0.0 <= t.score_recall <= 1.0
+        assert 0.0 <= t.set_recall <= 1.0
+        assert t.ms_per_batch is None  # time_reps=0
+    assert res.met_target
+    assert res.chosen.score_recall >= 0.9
+    qualifying = [t for t in res.table if t.score_recall >= 0.9]
+    assert res.chosen.cost == min(t.cost for t in qualifying)
+    # the full-width point scores everything the funnel surfaces: exact
+    full = [t for t in res.table if t.point.ncandidates == 64
+            and t.point.stage1_refine][0]
+    assert full.score_recall == 1.0
+
+
+def test_tune_unmet_target_falls_back_to_best(tuned_setup):
+    searcher, queries = tuned_setup
+    res = tune_operating_point(
+        searcher, queries, k=4, target_score_recall=1.1,  # impossible
+        grid=GRID, time_reps=0,
+    )
+    assert not res.met_target
+    best = max(t.score_recall for t in res.table)
+    assert res.chosen.score_recall == best
+    # cheapest among the recall maxima
+    maxima = [t for t in res.table if t.score_recall == best]
+    assert res.chosen.cost == min(t.cost for t in maxima)
+
+
+def test_apply_sets_config_and_search_follows(tuned_setup):
+    searcher, queries = tuned_setup
+    res = tune_operating_point(
+        searcher, queries, k=4, target_score_recall=0.9,
+        grid=GRID, time_reps=0,
+    )
+    cfg = searcher.config
+    before = (cfg.plaid_stage2_docs, cfg.plaid_stage1_refine, cfg.nprobe)
+    try:
+        res.apply(searcher)
+        assert cfg.plaid_stage2_docs == res.chosen.point.ncandidates
+        assert cfg.plaid_stage1_refine == res.chosen.point.stage1_refine
+        pids, scores = searcher.search_batch(queries, k=4)
+        assert pids.shape == (len(queries), 4)
+        # applied point keeps self-retrieval intact
+        assert (pids[:, 0] == np.arange(len(queries))).mean() == 1.0
+    finally:
+        (cfg.plaid_stage2_docs, cfg.plaid_stage1_refine, cfg.nprobe) = before
+
+
+def test_cost_model_orders_points_sanely():
+    kw = dict(nprobe=4, lq=16, cell_cap=64, max_doclen=32, max_candidates=4096)
+    cheap = OperatingPoint(0, 128, stage1_refine=False).cost(**kw)
+    mid = OperatingPoint(0, 128, stage1_refine=True).cost(**kw)
+    wide = OperatingPoint(0, 1024, stage1_refine=True).cost(**kw)
+    probes = OperatingPoint(2, 128, stage1_refine=False).cost(**kw)
+    assert cheap < mid < wide
+    assert cheap < probes < mid  # +2 probes costs less than the refine
+
+    res_str = str
+    # __str__ smoke (formatting only)
+    from colbert_tpu.evaluation.autotune import TunedPoint, TuneResult
+
+    t = TunedPoint(OperatingPoint(0, 128, False), 0.99, 0.97, cheap, 12.3)
+    s = res_str(TuneResult(chosen=t, table=[t], target=0.98))
+    assert "ncand=128" in s and "12 ms/batch" in s
