@@ -212,7 +212,15 @@ def main() -> None:
             f"{s.device_index.probe_dup_max}, split_mass="
             f"{s.device_index.probe_split_mass:.4f}, effective nprobe="
             f"{s.device_index.compensated_nprobe(cfg.nprobe)})")
+        # the refine-vs-probes tradeoff point: recall@10 matches
+        # quality-first (see the recall table above) without the refine's
+        # token-code reads — if faster, it is the better quality point
         s.config.plaid_stage1_refine = False
+        s.config.nprobe = cfg.nprobe + 2
+        qps_probes = _time_qps(s, qs, 64)
+        log(f"batched search on trained index (B=64, no refine, nprobe+2): "
+            f"{qps_probes:.1f} QPS/chip")
+        s.config.nprobe = cfg.nprobe
         s.config.probe_dup_compensation = False
         s.config.plaid_stage2_docs = 512
         qps_tuned = _time_qps(s, qs, 64)
@@ -233,6 +241,7 @@ def main() -> None:
             "oracle_margin_top1_top10": round(margin_1_10, 3),
             "self_retrieval_s1": s1,
             "qps_b64_quality": round(qps_quality, 1),
+            "qps_b64_probes_no_refine": round(qps_probes, 1),
             "qps_b64_tuned": round(qps_tuned, 1),
             "train": train_stats,
             "build_seconds": round(build_s, 1),
