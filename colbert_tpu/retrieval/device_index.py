@@ -45,9 +45,21 @@ from colbert_tpu.ops import codec as codec_ops
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["DeviceIndex"]
+__all__ = ["DeviceIndex", "PendingSearch"]
 
 NEG = -1e30
+
+
+@dataclass
+class PendingSearch:
+    """An in-flight fused search program's live device arrays (see
+    :meth:`DeviceIndex.search_tokens_batch_async`); ``DeviceIndex.finalize``
+    blocks on them and postprocesses."""
+
+    pids: jax.Array
+    scores: jax.Array
+    overflow: jax.Array
+    k: int
 
 
 MAX_CELL_DUP = 4  # sub-cells per oversized cell (see balance_cells)
@@ -468,6 +480,30 @@ class DeviceIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Fully fused serving path: query token ids -> (pids, scores) in ONE
         device program (BERT query encode + retrieval + ranking)."""
+        return self.finalize(self.search_tokens_batch_async(
+            params, bert_cfg, input_ids, attention_mask,
+            k=k, nprobe=nprobe, ncandidates=ncandidates, cell_cap=cell_cap,
+            max_candidates=max_candidates,
+            centroid_threshold=centroid_threshold, use_pallas=use_pallas,
+            stage1_refine=stage1_refine, dtype_name=dtype_name,
+        ))
+
+    def search_tokens_batch_async(
+        self, params, bert_cfg, input_ids: np.ndarray, attention_mask: np.ndarray,
+        *, k: int, nprobe: int, ncandidates: int,
+        cell_cap: int = 1024, max_candidates: int = 8192,
+        centroid_threshold: float | None = None,
+        use_pallas: bool = False,
+        stage1_refine: bool = True,
+        dtype_name: str = "bfloat16",
+    ) -> "PendingSearch":
+        """Launch the fused search program WITHOUT blocking on its results.
+
+        JAX dispatch is asynchronous: the returned :class:`PendingSearch`
+        holds live device arrays, so the host can tokenize and launch the
+        next batch while this one executes — :meth:`finalize` blocks (the
+        result D2H) and postprocesses. :class:`Searcher.search_stream`
+        builds the pipelined serving loop on this."""
         B, Lq = input_ids.shape
         mc, ncand, k_eff = self._clamp(Lq, nprobe, cell_cap, max_candidates,
                                        ncandidates, k)
@@ -485,8 +521,13 @@ class DeviceIndex:
             centroid_threshold=centroid_threshold, use_pallas=use_pallas,
             stage1_refine=stage1_refine,
         )
+        return PendingSearch(pids=pids, scores=scores, overflow=overflow, k=k)
+
+    def finalize(self, pending: "PendingSearch") -> Tuple[np.ndarray, np.ndarray]:
+        """Block on a :meth:`search_tokens_batch_async` launch -> (pids, scores)."""
         return self._postprocess(
-            np.asarray(pids), np.asarray(scores), np.asarray(overflow), k
+            np.asarray(pending.pids), np.asarray(pending.scores),
+            np.asarray(pending.overflow), pending.k,
         )
 
     def _postprocess(self, pids, scores, overflow, k):

@@ -102,6 +102,31 @@ def test_search_single_equals_batch(built_index):
     np.testing.assert_allclose(s1, sb[0], rtol=1e-5)
 
 
+def test_search_stream_equals_sequential(built_index):
+    cfg, encoder, passages, path = built_index
+    searcher = Searcher(path, encoder=encoder)
+    # ragged batch sizes exercise bucket padding inside the stream; an
+    # empty batch must yield empty results without breaking the pipeline
+    batches = [passages[0:3], passages[3:4], [], passages[4:9]]
+    streamed = list(searcher.search_stream(batches, k=4, max_inflight=2))
+    assert len(streamed) == len(batches)
+    for qb, (pids, scores) in zip(batches, streamed):
+        ep, es = searcher.search_batch(list(qb), k=4)
+        np.testing.assert_array_equal(pids, ep)
+        np.testing.assert_allclose(scores, es, rtol=1e-5)
+
+
+def test_search_stream_host_backend_fallback(built_index):
+    cfg, encoder, passages, path = built_index
+    searcher = Searcher(path, encoder=encoder, backend="host")
+    batches = [passages[0:2], passages[2:5]]
+    streamed = list(searcher.search_stream(batches, k=3))
+    assert len(streamed) == 2
+    for qb, (pids, _) in zip(batches, streamed):
+        ep, _ = searcher.search_batch(list(qb), k=3)
+        np.testing.assert_array_equal(pids, ep)
+
+
 def test_resume_skips_complete_chunks(built_index, tmp_path):
     cfg, encoder, passages, path = built_index
     # removing one chunk's artifacts and rebuilding only rebuilds that chunk
