@@ -410,6 +410,15 @@ def serve_and_probe(encoder, cfg, tmp, passages, n) -> None:
         best_fast = max(best_fast, qps)
         log(f"batched search (B={B}, warm, throughput-tuned): "
             f"{qps:.1f} QPS/chip")
+    # pipelined serving: search_stream keeps 2 fused programs in flight so
+    # host tokenize + result D2H overlap device execution
+    batches = [queries[(i * 64) % 128:(i * 64) % 128 + 64] for i in range(8)]
+    list(s.search_stream(batches[:2], k=10))  # warm
+    t0 = time.time()
+    list(s.search_stream(batches, k=10, max_inflight=2))
+    qps_stream = 64 * len(batches) / (time.time() - t0)
+    log(f"pipelined search_stream (B=64, throughput-tuned, 2 in flight): "
+        f"{qps_stream:.1f} QPS/chip")
     s.config.plaid_stage2_docs = None
 
     # --- single-query latency, itemized: the fused program pays one ~50-60ms

@@ -226,7 +226,9 @@ class Searcher:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched retrieval -> (pids (B, k), scores (B, k))."""
         B = len(queries)
-        if self.backend in ("device", "sharded") and B:
+        if self.backend == "device":
+            return self.finish_search(self.launch_search(queries, k), k)
+        if self.backend == "sharded" and B:
             cap = self.QUERY_BATCH_BUCKETS[-1]
             if B > cap:  # chunk huge batches by the largest bucket
                 parts = [
@@ -242,6 +244,68 @@ class Searcher:
                 )
                 return pids[:B], scores[:B]
         return self._search_batch_impl(queries, k)
+
+    # --- async serving primitives (device backend) ---------------------
+    # launch_search dispatches the fused device program(s) for one query
+    # batch WITHOUT blocking (JAX dispatch is asynchronous); finish_search
+    # blocks on the result D2H. Keeping the next batch's launch ahead of the
+    # previous batch's finish overlaps host work (tokenization, result
+    # conversion, the ~50-60 ms dispatch floor) with device execution —
+    # search_stream and serving.BatchingSearcher both pipeline through this
+    # pair. Results are bit-identical to search_batch.
+
+    def _device_search_kwargs(self, k: int) -> dict:
+        cfg = self.config
+        ncand, threshold = self._stage_params(k)
+        nprobe = cfg.nprobe
+        if cfg.probe_dup_compensation:
+            nprobe = self.device_index.compensated_nprobe(nprobe)
+        return dict(
+            k=k, nprobe=nprobe, ncandidates=ncand,
+            cell_cap=self.cell_cap, max_candidates=self.max_candidates,
+            centroid_threshold=threshold, use_pallas=self._stage2_pallas,
+            stage1_refine=cfg.plaid_stage1_refine,
+            dtype_name=cfg.activation_dtype,
+        )
+
+    def launch_search(self, queries: Sequence[str], k: int = 10) -> list:
+        """Tokenize + dispatch the fused search for ``queries`` without
+        blocking -> opaque handle for :meth:`finish_search`. Batches wider
+        than the largest query-batch bucket split into bucket-sized
+        launches; narrower ones pad up (finish slices the tail off).
+        Device backend only."""
+        from colbert_tpu.tokenization.tensorize import tensorize_queries
+
+        cfg = self.config
+        kw = self._device_search_kwargs(k)
+        cap = self.QUERY_BATCH_BUCKETS[-1]
+        parts = []  # [(true_B, PendingSearch)]
+        for i in range(0, len(queries), cap):
+            piece = list(queries[i:i + cap])
+            B = len(piece)
+            padded = next(b for b in self.QUERY_BATCH_BUCKETS if b >= B)
+            ids, mask = tensorize_queries(
+                piece + [""] * (padded - B),
+                self.encoder.tokenizer,
+                query_token_id=self.encoder.query_token_id,
+                query_maxlen=cfg.query_maxlen,
+                attend_to_mask_tokens=cfg.attend_to_mask_tokens,
+            )
+            parts.append((B, self.device_index.search_tokens_batch_async(
+                self.encoder.params, self.encoder.bert_config, ids, mask,
+                **kw,
+            )))
+        return parts
+
+    def finish_search(
+        self, parts: list, k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Block on a :meth:`launch_search` handle -> (pids (B,k), scores)."""
+        if not parts:  # empty query batch
+            return (np.empty((0, k), np.int64), np.empty((0, k), np.float32))
+        outs = [(B, self.device_index.finalize(p)) for B, p in parts]
+        return (np.concatenate([pi[:B] for B, (pi, _) in outs]),
+                np.concatenate([sc[:B] for B, (_, sc) in outs]))
 
     def search_stream(
         self, query_batches, k: int = 10, max_inflight: int = 2
@@ -267,55 +331,13 @@ class Searcher:
 
         from collections import deque
 
-        from colbert_tpu.tokenization.tensorize import tensorize_queries
-
-        cfg = self.config
-        ncand, threshold = self._stage_params(k)
-        nprobe = cfg.nprobe
-        if cfg.probe_dup_compensation:
-            nprobe = self.device_index.compensated_nprobe(nprobe)
-        kw = dict(
-            k=k, nprobe=nprobe, ncandidates=ncand,
-            cell_cap=self.cell_cap, max_candidates=self.max_candidates,
-            centroid_threshold=threshold, use_pallas=self._stage2_pallas,
-            stage1_refine=cfg.plaid_stage1_refine,
-            dtype_name=cfg.activation_dtype,
-        )
-        cap = self.QUERY_BATCH_BUCKETS[-1]
-
-        def launch(qb):
-            parts = []  # [(true_B, PendingSearch)]
-            for i in range(0, len(qb), cap):
-                piece = list(qb[i:i + cap])
-                B = len(piece)
-                padded = next(b for b in self.QUERY_BATCH_BUCKETS if b >= B)
-                ids, mask = tensorize_queries(
-                    piece + [""] * (padded - B),
-                    self.encoder.tokenizer,
-                    query_token_id=self.encoder.query_token_id,
-                    query_maxlen=cfg.query_maxlen,
-                    attend_to_mask_tokens=cfg.attend_to_mask_tokens,
-                )
-                parts.append((B, self.device_index.search_tokens_batch_async(
-                    self.encoder.params, self.encoder.bert_config, ids, mask,
-                    **kw,
-                )))
-            return parts
-
-        def finish(parts):
-            if not parts:  # empty input batch
-                return (np.empty((0, k), np.int64), np.empty((0, k), np.float32))
-            outs = [(B, self.device_index.finalize(p)) for B, p in parts]
-            return (np.concatenate([pi[:B] for B, (pi, _) in outs]),
-                    np.concatenate([sc[:B] for B, (_, sc) in outs]))
-
         pending = deque()
         for qb in query_batches:
             if len(pending) >= max(1, max_inflight):
-                yield finish(pending.popleft())
-            pending.append(launch(qb))
+                yield self.finish_search(pending.popleft(), k)
+            pending.append(self.launch_search(list(qb), k))
         while pending:
-            yield finish(pending.popleft())
+            yield self.finish_search(pending.popleft(), k)
 
     def _search_batch_impl(
         self, queries: Sequence[str], k: int
@@ -326,43 +348,16 @@ class Searcher:
         out_scores = np.full((B, k), -np.inf, np.float32)
 
         if self.backend == "device":
-            # fully fused serving path: tokenize on host, then ONE device
-            # program does query BERT encode + retrieval + ranking.
-            from colbert_tpu.tokenization.tensorize import tensorize_queries
+            return self.finish_search(self.launch_search(list(queries), k), k)
 
-            ids, mask = tensorize_queries(
-                list(queries),
-                self.encoder.tokenizer,
-                query_token_id=self.encoder.query_token_id,
-                query_maxlen=cfg.query_maxlen,
-                attend_to_mask_tokens=cfg.attend_to_mask_tokens,
-            )
+        if self.backend == "sharded":
+            Q = jnp.asarray(self.encoder.encode_queries(list(queries)))
             ncand, threshold = self._stage_params(k)
             # balanced-IVF duplicates of oversized cells consume probe
             # slots; compensate so nprobe DISTINCT cells are still typically
             # reached — scaled by how much of the corpus actually lives in
             # split cells (device_index.probe_compensation;
             # config.probe_dup_compensation trades this for speed)
-            nprobe = cfg.nprobe
-            if cfg.probe_dup_compensation:
-                nprobe = self.device_index.compensated_nprobe(nprobe)
-            pids_b, scores_b = self.device_index.search_tokens_batch(
-                self.encoder.params, self.encoder.bert_config, ids, mask,
-                k=k, nprobe=nprobe, ncandidates=ncand,
-                cell_cap=self.cell_cap, max_candidates=self.max_candidates,
-                centroid_threshold=threshold,
-                use_pallas=self._stage2_pallas,
-                stage1_refine=cfg.plaid_stage1_refine,
-                dtype_name=cfg.activation_dtype,
-            )
-            kk = min(k, pids_b.shape[1])
-            out_pids[:, :kk] = pids_b[:, :kk]
-            out_scores[:, :kk] = scores_b[:, :kk]
-            return out_pids, out_scores
-
-        if self.backend == "sharded":
-            Q = jnp.asarray(self.encoder.encode_queries(list(queries)))
-            ncand, threshold = self._stage_params(k)
             nprobe = cfg.nprobe
             if cfg.probe_dup_compensation:
                 nprobe = self.sharded_index.compensated_nprobe(nprobe)

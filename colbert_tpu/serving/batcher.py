@@ -40,11 +40,19 @@ class BatchingSearcher:
     drains the queue: it waits at most ``max_wait_ms`` for the batch to
     fill to ``max_batch``, then issues ONE ``search_batch``. Mixed ``k``
     values batch together (scored at the batch max, sliced per request).
+
+    On the device backend the loop pipelines through
+    ``Searcher.launch_search``/``finish_search``: up to ``max_inflight``
+    fused programs stay in flight, so batch N+1's host work (queue drain,
+    tokenization, dispatch) overlaps batch N's device execution — the same
+    overlap ``Searcher.search_stream`` measures at 1.13-1.35x QPS. Results
+    are bit-identical to the sequential path.
     """
 
     searcher: "object"            # colbert_tpu.retrieval.searcher.Searcher
     max_batch: int = 128
     max_wait_ms: float = 10.0
+    max_inflight: int = 2
 
     def __post_init__(self) -> None:
         self._lock = threading.Lock()
@@ -122,26 +130,58 @@ class BatchingSearcher:
             batch, self._pending = self._pending, []
         return batch
 
+    def _resolve(self, batch, fetch) -> None:
+        """Run ``fetch`` -> (pids, scores) and settle the batch's futures."""
+        try:
+            pids, scores = fetch()
+            for i, r in enumerate(batch):
+                r.future.set_result((pids[i, : r.k], scores[i, : r.k]))
+        except Exception as e:  # propagate to every waiter, keep serving
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)
+        self.stats["queries"] += len(batch)
+        self.stats["batches"] += 1
+        self.stats["max_batch_seen"] = max(
+            self.stats["max_batch_seen"], len(batch)
+        )
+
     def _loop(self) -> None:
-        while not self._closed or self._pending:
+        from collections import deque
+
+        inflight: deque = deque()  # (batch, kmax, handle, searcher)
+        while True:
+            with self._lock:
+                has_pending = bool(self._pending)
+            if inflight and (
+                len(inflight) >= max(1, self.max_inflight)
+                or not has_pending
+            ):
+                # pipeline full, or no new work queued: retire the oldest
+                # launch (its waiters block on this finish)
+                batch, kmax, handle, searcher = inflight.popleft()
+                self._resolve(
+                    batch, lambda: searcher.finish_search(handle, kmax)
+                )
+                continue
+            if self._closed and not has_pending:
+                return
             batch = self._take_batch()
             if not batch:
-                if self._closed:
-                    return
                 continue
-            try:
-                kmax = max(r.k for r in batch)
-                pids, scores = self.searcher.search_batch(
-                    [r.query for r in batch], k=kmax
+            kmax = max(r.k for r in batch)
+            queries = [r.query for r in batch]
+            searcher = self.searcher  # read once; swap() is atomic
+            if getattr(searcher, "backend", None) == "device":
+                try:
+                    handle = searcher.launch_search(queries, kmax)
+                except Exception as e:
+                    for r in batch:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+                    continue
+                inflight.append((batch, kmax, handle, searcher))
+            else:  # host/sharded backends: synchronous
+                self._resolve(
+                    batch, lambda: searcher.search_batch(queries, k=kmax)
                 )
-                for i, r in enumerate(batch):
-                    r.future.set_result((pids[i, : r.k], scores[i, : r.k]))
-            except Exception as e:  # propagate to every waiter, keep serving
-                for r in batch:
-                    if not r.future.done():
-                        r.future.set_exception(e)
-            self.stats["queries"] += len(batch)
-            self.stats["batches"] += 1
-            self.stats["max_batch_seen"] = max(
-                self.stats["max_batch_seen"], len(batch)
-            )

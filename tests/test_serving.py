@@ -69,6 +69,34 @@ def test_batcher_coalesces_concurrent_requests(served):
         b.close()
 
 
+def test_batcher_pipelines_multiple_batches(served):
+    """max_batch=4 with 16 queued requests forces >=4 successive launches
+    through the launch/finish pipeline (max_inflight=2); every request must
+    still get its own exact result, in spite of overlap."""
+    passages, s = served
+    b = BatchingSearcher(s, max_batch=4, max_wait_ms=5, max_inflight=2)
+    try:
+        futs = [b.submit(passages[i], k=3) for i in range(16)]
+        for i, f in enumerate(futs):
+            p, sc = f.result(timeout=120)
+            assert p[0] == i, f"request {i} got {p}"
+        assert b.stats["batches"] >= 4
+        assert b.stats["queries"] == 16
+    finally:
+        b.close()
+
+
+def test_batcher_host_backend_fallback(served):
+    """Non-device backends take the synchronous path in the batcher loop."""
+    passages, s = served
+    host = Searcher(s.index_path, encoder=s.encoder, backend="host")
+    with BatchingSearcher(host, max_batch=4, max_wait_ms=5) as b:
+        futs = [b.submit(passages[i], k=2) for i in (5, 9)]
+        for i, f in zip((5, 9), futs):
+            p, _ = f.result(timeout=120)
+            assert p[0] == i
+
+
 def test_batcher_context_manager(served):
     passages, s = served
     with BatchingSearcher(s, max_batch=4, max_wait_ms=10) as b:
