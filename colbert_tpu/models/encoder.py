@@ -431,24 +431,45 @@ class ColBERTEncoder:
         bsize = cfg.index_bsize
         for start in range(0, len(queries), bsize):
             batch = queries[start : start + bsize]
-            ids, mask = tensorize_queries(
-                batch,
-                self.tokenizer,
-                query_token_id=self.query_token_id,
-                query_maxlen=cfg.query_maxlen,
-                attend_to_mask_tokens=cfg.attend_to_mask_tokens,
-            )
-            # query skiplist is pad-only (searching.jl:62); pads were replaced
-            # by [MASK], so every position is kept.
-            keep = np.ones_like(mask)
-            ids_d, mask_d, keep_d = self._put_batch(ids, mask, keep)
-            emb = encode_batch(
-                self.params,
-                ids_d,
-                mask_d,
-                keep_d,
-                cfg=self.bert_config,
-                dtype_name=cfg.activation_dtype,
-            )
+            emb = self._encode_query_batch_device(batch)
             out[start : start + len(batch)] = np.asarray(emb)[: len(batch)]
         return out
+
+    def encode_queries_device(self, queries: Sequence[str]):
+        """-> (N, query_maxlen, dim) fp32 query embeddings as a LIVE device
+        array — no host round-trip. Serving paths that feed the embeddings
+        straight into another device program (the sharded search) use this:
+        ``encode_queries`` would pull the batch over the tunnel (~100 ms D2H)
+        only to re-upload it."""
+        import jax.numpy as jnp
+
+        bsize = self.config.index_bsize
+        parts = []
+        for s in range(0, len(queries), bsize):
+            n = len(queries[s : s + bsize])
+            # _put_batch may pad the batch (mesh sharding); drop pad rows
+            parts.append(self._encode_query_batch_device(queries[s : s + bsize])[:n])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    def _encode_query_batch_device(self, batch: Sequence[str]):
+        """One <=index_bsize query batch -> device embeddings (async)."""
+        cfg = self.config
+        ids, mask = tensorize_queries(
+            batch,
+            self.tokenizer,
+            query_token_id=self.query_token_id,
+            query_maxlen=cfg.query_maxlen,
+            attend_to_mask_tokens=cfg.attend_to_mask_tokens,
+        )
+        # query skiplist is pad-only (searching.jl:62); pads were replaced
+        # by [MASK], so every position is kept.
+        keep = np.ones_like(mask)
+        ids_d, mask_d, keep_d = self._put_batch(ids, mask, keep)
+        return encode_batch(
+            self.params,
+            ids_d,
+            mask_d,
+            keep_d,
+            cfg=self.bert_config,
+            dtype_name=cfg.activation_dtype,
+        )

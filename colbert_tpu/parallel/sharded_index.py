@@ -28,7 +28,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from colbert_tpu.retrieval.device_index import IVF_PAD, _probe_topk, _search_core
 
-__all__ = ["ShardedDeviceIndex"]
+__all__ = ["ShardedDeviceIndex", "PendingShardSearch"]
+
+
+@dataclass
+class PendingShardSearch:
+    """An in-flight sharded search program's live device arrays (see
+    :meth:`ShardedDeviceIndex.search_Q_batch_async`);
+    ``ShardedDeviceIndex.finalize`` blocks on them and runs the host merge."""
+
+    local_pids: jax.Array    # (D, B, k_local)
+    local_scores: jax.Array  # (D, B, k_local)
+    k: int
 
 
 def _pad_to(arr: np.ndarray, n: int, fill) -> np.ndarray:
@@ -298,6 +309,24 @@ class ShardedDeviceIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Queries (B, Lq, dim) -> (pids (B, k), scores (B, k)), exact merge
         of per-shard top-k results."""
+        return self.finalize(self.search_Q_batch_async(
+            Q, k=k, nprobe=nprobe, ncandidates=ncandidates,
+            cell_cap=cell_cap, max_candidates=max_candidates,
+            centroid_threshold=centroid_threshold,
+            stage1_refine=stage1_refine,
+        ))
+
+    def search_Q_batch_async(
+        self, Q: jax.Array, *, k: int, nprobe: int, ncandidates: int,
+        cell_cap: int = 1024, max_candidates: int = 8192,
+        centroid_threshold: float | None = None,
+        stage1_refine: bool = True,
+    ) -> PendingShardSearch:
+        """Dispatch the sharded search WITHOUT blocking -> handle for
+        :meth:`finalize`. JAX dispatch is asynchronous, so serving can keep
+        the next batch's program in flight while this one executes
+        (``Searcher.launch_search``/``search_stream`` pipeline through
+        this, exactly like the single-device backend)."""
         B, Lq, _ = Q.shape
         ndev = self.mesh.shape["data"]
         max_candidates = min(max_candidates, Lq * nprobe * cell_cap)
@@ -322,12 +351,19 @@ class ShardedDeviceIndex:
             self.ivf, self.ivf_offsets, self.ivf_lengths,
             self.doclens, self.emb_offsets, self.bucket_weights, self.n_cells,
         )
-        # host merge of the all_gathered (D, B, k_local) tables -> global
-        # pids, top-k per query. The in-program all_gather makes the outputs
-        # fully replicated, so every pod host computes the same merge.
+        return PendingShardSearch(local_pids, local_scores, k)
+
+    def finalize(
+        self, pending: PendingShardSearch
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Block on a :meth:`search_Q_batch_async` launch -> (pids, scores).
+
+        Host merge of the all_gathered (D, B, k_local) tables -> global
+        pids, top-k per query. The in-program all_gather makes the outputs
+        fully replicated, so every pod host computes the same merge."""
         return merge_shard_topk(
-            np.asarray(local_pids), np.asarray(local_scores),
-            self.pid_base, self.shard_passages, k)
+            np.asarray(pending.local_pids), np.asarray(pending.local_scores),
+            self.pid_base, self.shard_passages, pending.k)
 
 
 def merge_shard_topk(

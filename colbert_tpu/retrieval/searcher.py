@@ -225,27 +225,11 @@ class Searcher:
         self, queries: Sequence[str], k: int = 10
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched retrieval -> (pids (B, k), scores (B, k))."""
-        B = len(queries)
-        if self.backend == "device":
+        if self.backend in ("device", "sharded"):
             return self.finish_search(self.launch_search(queries, k), k)
-        if self.backend == "sharded" and B:
-            cap = self.QUERY_BATCH_BUCKETS[-1]
-            if B > cap:  # chunk huge batches by the largest bucket
-                parts = [
-                    self.search_batch(list(queries[i : i + cap]), k)
-                    for i in range(0, B, cap)
-                ]
-                return (np.concatenate([p for p, _ in parts]),
-                        np.concatenate([s for _, s in parts]))
-            padded = next(b for b in self.QUERY_BATCH_BUCKETS if b >= B)
-            if padded != B:
-                pids, scores = self._search_batch_impl(
-                    list(queries) + [""] * (padded - B), k
-                )
-                return pids[:B], scores[:B]
         return self._search_batch_impl(queries, k)
 
-    # --- async serving primitives (device backend) ---------------------
+    # --- async serving primitives (device + sharded backends) ----------
     # launch_search dispatches the fused device program(s) for one query
     # batch WITHOUT blocking (JAX dispatch is asynchronous); finish_search
     # blocks on the result D2H. Keeping the next batch's launch ahead of the
@@ -254,18 +238,17 @@ class Searcher:
     # search_stream and serving.BatchingSearcher both pipeline through this
     # pair. Results are bit-identical to search_batch.
 
-    def _device_search_kwargs(self, k: int) -> dict:
+    def _device_search_kwargs(self, k: int, probe_index) -> dict:
         cfg = self.config
         ncand, threshold = self._stage_params(k)
         nprobe = cfg.nprobe
         if cfg.probe_dup_compensation:
-            nprobe = self.device_index.compensated_nprobe(nprobe)
+            nprobe = probe_index.compensated_nprobe(nprobe)
         return dict(
             k=k, nprobe=nprobe, ncandidates=ncand,
             cell_cap=self.cell_cap, max_candidates=self.max_candidates,
-            centroid_threshold=threshold, use_pallas=self._stage2_pallas,
+            centroid_threshold=threshold,
             stage1_refine=cfg.plaid_stage1_refine,
-            dtype_name=cfg.activation_dtype,
         )
 
     def launch_search(self, queries: Sequence[str], k: int = 10) -> list:
@@ -273,25 +256,39 @@ class Searcher:
         blocking -> opaque handle for :meth:`finish_search`. Batches wider
         than the largest query-batch bucket split into bucket-sized
         launches; narrower ones pad up (finish slices the tail off).
-        Device backend only."""
+        Device and sharded backends only."""
         from colbert_tpu.tokenization.tensorize import tensorize_queries
 
         cfg = self.config
-        kw = self._device_search_kwargs(k)
+        sharded = self.backend == "sharded"
+        index = self.sharded_index if sharded else self.device_index
+        kw = self._device_search_kwargs(k, index)
+        if not sharded:
+            # the fully fused single-device program also runs the query BERT
+            # encode in-program from token ids
+            kw.update(use_pallas=self._stage2_pallas,
+                      dtype_name=cfg.activation_dtype)
         cap = self.QUERY_BATCH_BUCKETS[-1]
-        parts = []  # [(true_B, PendingSearch)]
+        parts = []  # [(true_B, PendingSearch | PendingShardSearch)]
         for i in range(0, len(queries), cap):
             piece = list(queries[i:i + cap])
             B = len(piece)
             padded = next(b for b in self.QUERY_BATCH_BUCKETS if b >= B)
+            piece = piece + [""] * (padded - B)
+            if sharded:
+                # encode on device (no host round-trip) and hand the live
+                # array straight to the shard_map program
+                Q = self.encoder.encode_queries_device(piece)
+                parts.append((B, index.search_Q_batch_async(Q, **kw)))
+                continue
             ids, mask = tensorize_queries(
-                piece + [""] * (padded - B),
+                piece,
                 self.encoder.tokenizer,
                 query_token_id=self.encoder.query_token_id,
                 query_maxlen=cfg.query_maxlen,
                 attend_to_mask_tokens=cfg.attend_to_mask_tokens,
             )
-            parts.append((B, self.device_index.search_tokens_batch_async(
+            parts.append((B, index.search_tokens_batch_async(
                 self.encoder.params, self.encoder.bert_config, ids, mask,
                 **kw,
             )))
@@ -303,9 +300,18 @@ class Searcher:
         """Block on a :meth:`launch_search` handle -> (pids (B,k), scores)."""
         if not parts:  # empty query batch
             return (np.empty((0, k), np.int64), np.empty((0, k), np.float32))
-        outs = [(B, self.device_index.finalize(p)) for B, p in parts]
-        return (np.concatenate([pi[:B] for B, (pi, _) in outs]),
-                np.concatenate([sc[:B] for B, (_, sc) in outs]))
+        index = self.sharded_index if self.backend == "sharded" else self.device_index
+        outs = [(B, index.finalize(p)) for B, p in parts]
+        pids = np.concatenate([pi[:B] for B, (pi, _) in outs])
+        scores = np.concatenate([sc[:B] for B, (_, sc) in outs])
+        if pids.shape[1] < k:  # tiny index: fewer than k hits exist
+            pad = k - pids.shape[1]
+            pids = np.pad(pids, ((0, 0), (0, pad)), constant_values=-1)
+            scores = np.pad(
+                scores.astype(np.float32), ((0, 0), (0, pad)),
+                constant_values=-np.inf,
+            )
+        return pids.astype(np.int64), scores.astype(np.float32)
 
     def search_stream(
         self, query_batches, k: int = 10, max_inflight: int = 2
@@ -319,12 +325,13 @@ class Searcher:
         (tokenization, result conversion) and the result D2H with device
         execution — the serving win is the fixed per-batch host+dispatch
         cost, which otherwise serializes with the program (~50-60 ms
-        dispatch floor through the tunnel). Backends other than "device"
-        fall back to sequential :meth:`search_batch` (same results, no
-        overlap). Batches wider than the largest query-batch bucket are
-        split into bucket-sized launches and re-joined on yield.
+        dispatch floor through the tunnel). Works on the device and
+        sharded backends; the host backend falls back to sequential
+        :meth:`search_batch` (same results, no overlap). Batches wider
+        than the largest query-batch bucket are split into bucket-sized
+        launches and re-joined on yield.
         """
-        if self.backend != "device":
+        if self.backend not in ("device", "sharded"):
             for qb in query_batches:
                 yield self.search_batch(list(qb), k)
             return

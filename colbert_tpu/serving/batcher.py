@@ -172,7 +172,7 @@ class BatchingSearcher:
             kmax = max(r.k for r in batch)
             queries = [r.query for r in batch]
             searcher = self.searcher  # read once; swap() is atomic
-            if getattr(searcher, "backend", None) == "device":
+            if getattr(searcher, "backend", None) in ("device", "sharded"):
                 try:
                     handle = searcher.launch_search(queries, kmax)
                 except Exception as e:
@@ -181,7 +181,7 @@ class BatchingSearcher:
                             r.future.set_exception(e)
                     continue
                 inflight.append((batch, kmax, handle, searcher))
-            else:  # host/sharded backends: synchronous
+            else:  # host backend: synchronous
                 self._resolve(
                     batch, lambda: searcher.search_batch(queries, k=kmax)
                 )

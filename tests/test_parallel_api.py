@@ -108,6 +108,31 @@ def test_sharded_searcher_backend(builds):
     np.testing.assert_allclose(sd, ss, rtol=1e-4, atol=1e-4)
 
 
+def test_sharded_pipelined_serving(builds):
+    """search_stream and the BatchingSearcher pipeline on the sharded
+    backend too (launch/finish through search_Q_batch_async + the
+    device-resident query encode) and must match sequential results."""
+    from colbert_tpu.serving.batcher import BatchingSearcher
+
+    passages, paths = builds
+    cfg, enc, path = paths["mesh"]
+    s_sh = Searcher(path, encoder=enc, backend="sharded")
+    queries = [passages[i] for i in (2, 9, 33, 41, 63, 7)]
+    batches = [queries[:2], queries[2:4], queries[4:]]
+    seq = [s_sh.search_batch(qb, k=4) for qb in batches]
+    streamed = list(s_sh.search_stream(batches, k=4, max_inflight=2))
+    for (sp, ssc), (gp, gsc) in zip(seq, streamed):
+        np.testing.assert_array_equal(sp, gp)
+        np.testing.assert_allclose(ssc, gsc)
+    with BatchingSearcher(s_sh, max_batch=2, max_wait_ms=5) as b:
+        futs = [b.submit(q, k=4) for q in queries]
+        flat_p = np.concatenate([p for p, _ in seq])
+        for i, f in enumerate(futs):
+            p, _ = f.result(timeout=120)
+            np.testing.assert_array_equal(p, flat_p[i])
+        assert b.stats["batches"] >= 3
+
+
 def test_distributed_quantiles_match_exact(rng):
     from colbert_tpu.ops.quantile import sharded_quantiles
     from colbert_tpu.parallel.mesh import make_mesh
