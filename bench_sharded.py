@@ -80,7 +80,8 @@ def main() -> None:
         f"peak host RSS {rss:.2f} GB")
     log(f"capacity sizing: probe_dup_max={sharded.probe_dup_max}, "
         f"per-shard probe table K'={sharded.probe_cents.shape[1]}, "
-        f"min_ncells={sharded.min_ncells}, Ns={sharded.codes.shape[1] - 1}, "
+        f"min_ncells={sharded.min_ncells}, "
+        f"Ns={sharded.codes.shape[1] - sharded.max_doclen}, "
         f"Ps={sharded.shard_passages}")
 
     rng = np.random.default_rng(0)

@@ -110,6 +110,7 @@ def score_recall_at_k(
     reaches the oracle's k-th best (within ``eps``). On corpora with many
     near-tied passages, set-recall charges the funnel for returning a
     different but equally-scored passage; score-recall doesn't."""
+    k = min(k, oracle_scores.shape[1])  # tiny corpus: fewer than k passages
     kth = -np.sort(-oracle_scores, axis=1)[:, k - 1]  # (B,)
     idx = np.clip(got[:, :k], 0, oracle_scores.shape[1] - 1)
     got_scores = np.take_along_axis(oracle_scores, idx, axis=1)

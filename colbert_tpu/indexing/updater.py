@@ -176,6 +176,7 @@ class IndexUpdater:
         rebuilds the IVF. Run it when tombstones accumulate; searchers
         opened afterwards see the smaller index.
         """
+        self.finish_pending_compact()
         plan = fmt.load_plan(self.index_path)
         deleted = fmt.load_deleted(self.index_path)
         n_docs = int(plan["num_documents"])
@@ -189,9 +190,13 @@ class IndexUpdater:
         # Rewrite chunk-by-chunk into a staging dir (mmap'd source, only the
         # surviving rows materialize -> peak RSS is one chunk, not the index),
         # then publish with renames only after the FULL pass succeeds. A crash
-        # before the rename loop leaves the live index untouched (tombstones
-        # intact, state fully repairable by re-running compact); the rename
-        # loop itself destroys no information the new chunks don't carry.
+        # before the commit journal leaves the live index untouched
+        # (tombstones intact, state fully repairable by re-running compact);
+        # a crash anywhere AFTER the journal — mid-rename, before the plan
+        # write, before the IVF rebuild — is repaired by replaying the
+        # journal (finish_pending_compact), because the renumbered chunks
+        # on disk are only consistent with the NEW plan + empty tombstones,
+        # never with the old overlay.
         n_chunks = int(plan["num_chunks"])
         tmp_dir = os.path.join(self.index_path, "compact_tmp")
         os.makedirs(tmp_dir, exist_ok=True)
@@ -215,24 +220,77 @@ class IndexUpdater:
             passage_offset += int(keep.sum())
             total_embs += int(row_keep.sum())
             pid += n
-        for ci in range(n_chunks):
-            for name in fmt.chunk_file_names(ci):
-                os.replace(
-                    os.path.join(tmp_dir, name),
-                    os.path.join(self.index_path, name),
-                )
-        os.rmdir(tmp_dir)
-        plan["num_documents"] = passage_offset
-        plan["num_embeddings"] = total_embs
-        plan["embedding_offsets"] = offsets
-        fmt.save_plan(self.index_path, plan)
-        fmt.save_deleted(self.index_path, np.zeros((0,), np.int64))
-        self._rebuild_ivf(plan)
+        self._write_compact_journal(
+            num_chunks=n_chunks,
+            plan_updates={
+                "num_documents": passage_offset,
+                "num_embeddings": total_embs,
+                "embedding_offsets": offsets,
+            },
+        )
+        self._replay_compact_journal()
         logger.info(
             "compacted: %d pids removed, %d remain (%d embeddings)",
             len(deleted), passage_offset, total_embs,
         )
         return pid_map
+
+    COMPACT_JOURNAL = "compact_commit.json"
+
+    def finish_pending_compact(self) -> bool:
+        """Complete a :meth:`compact` publish interrupted by a crash
+        -> True if there was one.
+
+        ``compact()`` journals its commit (the staged chunk count + the new
+        plan fields) durably BEFORE the first destructive rename. The
+        publish replay is idempotent — renames that already happened find
+        no staging file and are skipped — so rerunning it repairs a crash
+        at any point: remaining chunks are renamed, the plan and tombstone
+        overlay rewritten, the IVF rebuilt, and the journal removed. Called
+        automatically at the start of every ``compact()``; callers that
+        crashed mid-compact can also invoke it directly (the interrupted
+        call's pid map is lost — recompute it from the pre-compact
+        tombstone list if needed).
+        """
+        if not os.path.exists(os.path.join(self.index_path, self.COMPACT_JOURNAL)):
+            return False
+        logger.warning(
+            "found an interrupted compact() publish — completing it"
+        )
+        self._replay_compact_journal()
+        return True
+
+    def _write_compact_journal(self, **journal) -> None:
+        import json
+
+        path = os.path.join(self.index_path, self.COMPACT_JOURNAL)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(journal, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def _replay_compact_journal(self) -> None:
+        import json
+
+        journal_path = os.path.join(self.index_path, self.COMPACT_JOURNAL)
+        with open(journal_path) as f:
+            journal = json.load(f)
+        tmp_dir = os.path.join(self.index_path, "compact_tmp")
+        for ci in range(int(journal["num_chunks"])):
+            for name in fmt.chunk_file_names(ci):
+                src = os.path.join(tmp_dir, name)
+                if os.path.exists(src):  # skip = rename already happened
+                    os.replace(src, os.path.join(self.index_path, name))
+        if os.path.isdir(tmp_dir):
+            os.rmdir(tmp_dir)
+        plan = fmt.load_plan(self.index_path)
+        plan.update(journal["plan_updates"])
+        fmt.save_plan(self.index_path, plan)
+        fmt.save_deleted(self.index_path, np.zeros((0,), np.int64))
+        self._rebuild_ivf(plan)
+        os.remove(journal_path)
 
     # ------------------------------------------------------------------
 

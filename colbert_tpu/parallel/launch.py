@@ -73,7 +73,9 @@ def initialize(
     # NOTE: nothing here may touch the XLA backend (jax.devices(),
     # jax.process_count(), any computation) — jax.distributed.initialize
     # must run first
-    if _initialized:
+    if is_initialized():  # incl. a direct jax.distributed.initialize()
+        # elsewhere in the launcher script — re-initializing would raise
+        _initialized = True
         return
     coordinator_address = coordinator_address or os.environ.get("COLBERT_COORDINATOR")
     if num_processes is None and "COLBERT_NUM_PROCESSES" in os.environ:
@@ -133,6 +135,57 @@ def put_replicated(arr: np.ndarray, mesh: Mesh) -> jax.Array:
     return jax.make_array_from_single_device_arrays(arr.shape, sharding, bufs)
 
 
+class ShardStackBuilder:
+    """Incrementally assemble a (D, *tail_shape) global array sharded over
+    the 'data' axis, one shard's host array at a time.
+
+    Unlike :func:`put_shard_stack` (which needs every shard's host copy
+    alive simultaneously), ``add()`` uploads a shard to its device(s)
+    immediately, so the caller can free each (possibly multi-GB) padded
+    host array before building the next — peak host RSS stays one shard,
+    not the whole index. Multi-controller safe: ``add`` for a shard no
+    local device addresses is a no-op, and ``build()`` checks every
+    addressed shard was fed.
+    """
+
+    def __init__(self, mesh: Mesh, tail_shape: tuple, dtype):
+        self.mesh = mesh
+        self.tail_shape = tuple(tail_shape)
+        self.dtype = dtype
+        self._bufs: dict[int, list] = {}
+
+    def add(self, s: int, arr: np.ndarray) -> None:
+        me = jax.process_index()
+        devs = self.mesh.devices.reshape(self.mesh.shape["data"], -1)
+        local = [d for d in devs[s] if d.process_index == me]
+        if not local:
+            return
+        row = np.asarray(arr, self.dtype)[None]
+        if row.shape != (1,) + self.tail_shape:
+            raise ValueError(
+                f"shard {s} has shape {row.shape[1:]}, expected {self.tail_shape}"
+            )
+        self._bufs[s] = [jax.device_put(row, d) for d in local]
+
+    def build(self) -> jax.Array:
+        D = self.mesh.shape["data"]
+        me = jax.process_index()
+        devs = self.mesh.devices.reshape(D, -1)
+        bufs = []
+        for s in range(D):
+            if not any(d.process_index == me for d in devs[s]):
+                continue
+            if s not in self._bufs:
+                raise ValueError(
+                    f"process {me} addresses data shard {s} but no host "
+                    f"array was provided for it"
+                )
+            bufs.extend(self._bufs[s])
+        return jax.make_array_from_single_device_arrays(
+            (D,) + self.tail_shape, NamedSharding(self.mesh, P("data")), bufs
+        )
+
+
 def put_shard_stack(
     mesh: Mesh,
     shard_arrays: dict[int, np.ndarray],
@@ -145,30 +198,14 @@ def put_shard_stack(
     ``shard_arrays`` maps data-axis index -> that shard's (*tail_shape)
     host array; a process only needs entries for shards whose device it
     addresses (multi-controller: each host feeds only its own shards —
-    index shards never cross DCN at load time).
+    index shards never cross DCN at load time). For arrays too large to
+    hold for every shard at once, feed a :class:`ShardStackBuilder`
+    incrementally instead.
     """
-    D = mesh.shape["data"]
-    sharding = NamedSharding(mesh, P("data"))
-    gshape = (D,) + tuple(tail_shape)
-    me = jax.process_index()
-    bufs = []
-    devs = mesh.devices.reshape(D, -1)
-    for s in range(D):
-        for dev in devs[s]:
-            if dev.process_index != me:
-                continue
-            if s not in shard_arrays:
-                raise ValueError(
-                    f"process {me} addresses data shard {s} but no host "
-                    f"array was provided for it"
-                )
-            row = np.asarray(shard_arrays[s], dtype)[None]
-            if row.shape != (1,) + tuple(tail_shape):
-                raise ValueError(
-                    f"shard {s} has shape {row.shape[1:]}, expected {tail_shape}"
-                )
-            bufs.append(jax.device_put(row, dev))
-    return jax.make_array_from_single_device_arrays(gshape, sharding, bufs)
+    builder = ShardStackBuilder(mesh, tail_shape, dtype)
+    for s, arr in shard_arrays.items():
+        builder.add(s, arr)
+    return builder.build()
 
 
 def put_data_sharded(arr: np.ndarray, mesh: Mesh) -> jax.Array:

@@ -148,12 +148,36 @@ class ShardedDeviceIndex:
         owned = launch.owned_data_shards(mesh) if multihost else list(range(ndev))
         centroids = np.asarray(centroids, np.float32)
 
-        # pass 1 — per owned shard: slice rows, local IVF, balanced split.
+        # pass 1 — per owned shard: slice rows, local IVF, balanced split,
+        # then pad + upload the BIG per-shard arrays (codes / residuals /
+        # IVF / doclens / offsets — their padded shapes derive from doclens
+        # metadata alone) immediately and FREE the host rows before the
+        # next shard: peak host RSS stays ~one shard, not the whole index
+        # (launch.ShardStackBuilder). Only the tiny probe tables, whose
+        # padded width K_max needs the host-level agreement below, are
+        # retained between passes.
         # Pad rows of the probe table are UNSELECTABLE: each shard carries
         # its valid-cell count and the search masks pad columns to -inf
         # before top_k (a pad duplicating any real cell would tie with it
         # and crowd distinct cells out of the probe slots).
-        shards: dict[int, tuple] = {}
+        max_doclen = int(doclens.max()) if P_total else 1
+        max_doclen = max(32, -(-max_doclen // 32) * 32)
+        # tail pads mirror DeviceIndex.build: max_doclen zeroed rows on
+        # codes/residuals (stage-2 per-candidate dynamic_slice windows)
+        # and IVF_PAD sentinel entries on the IVF (per-cell slice reads)
+        big = {
+            "codes": launch.ShardStackBuilder(
+                mesh, (Ns_max + max_doclen,), np.uint32),
+            "residuals": launch.ShardStackBuilder(
+                mesh, (Ns_max + max_doclen, nbytes), np.uint8),
+            "ivf": launch.ShardStackBuilder(
+                mesh, (Ns_max + IVF_PAD,), np.int32),
+            "doclens": launch.ShardStackBuilder(
+                mesh, (Ps_max + 1,), np.int32),
+            "emb_offsets": launch.ShardStackBuilder(
+                mesh, (Ps_max + 1,), np.int32),
+        }
+        probe_tables: dict[int, tuple] = {}
         K_per_shard = np.zeros(ndev, np.int64)
         dup_per_shard = np.ones(ndev, np.int64)
         split_mass_per_shard = np.zeros(ndev, np.float64)
@@ -194,8 +218,33 @@ class ShardedDeviceIndex:
                 sl = np.asarray(ivf_len, np.int32)
                 so = offs0.astype(np.int32)
                 origin = np.arange(len(ivf_len), dtype=np.int32)
-            shards[s] = (dl, local_codes, local_res, ivf_local, sl, so, origin)
+            probe_tables[s] = (sl, so, origin)
             K_per_shard[s] = len(sl)
+
+            # pad + upload this shard's big arrays now, then drop the rows
+            Ns, Ps = len(local_codes), len(dl)
+            sent_eid, sent_pid = Ns_max, Ps_max
+            codes_p = np.zeros(Ns_max + max_doclen, np.uint32)
+            codes_p[:Ns] = local_codes
+            big["codes"].add(s, codes_p)
+            del codes_p, local_codes
+            res_p = np.zeros((Ns_max + max_doclen, nbytes), np.uint8)
+            res_p[:Ns] = local_res
+            big["residuals"].add(s, res_p)
+            del res_p, local_res
+            e2p = np.full(Ns_max + 1, sent_pid, np.int32)
+            e2p[:Ns] = np.repeat(np.arange(Ps, dtype=np.int32), dl)
+            # local IVF carries PIDS (one stage-1 read, not two)
+            ivf_p = np.full(Ns_max + IVF_PAD, sent_eid, np.int32)
+            ivf_p[:Ns] = ivf_local
+            big["ivf"].add(s, e2p[ivf_p])
+            del ivf_p, ivf_local, e2p
+            offs = np.full(Ps_max + 1, sent_eid, np.int32)
+            offs[:Ps] = np.concatenate([[0], np.cumsum(dl[:-1])]) if Ps else 0
+            big["emb_offsets"].add(s, offs)
+            dl_p = np.zeros(Ps_max + 1, np.int32)
+            dl_p[:Ps] = dl
+            big["doclens"].add(s, dl_p)
 
         # probe-table width / dup bound must agree across hosts; a tiny
         # host-level all-gather settles them (a shard replicated over the
@@ -218,61 +267,21 @@ class ShardedDeviceIndex:
         probe_split_mass = float(split_mass_per_shard.max())
         min_ncells = int(K_per_shard.min())
 
-        # pass 2 — pad every owned shard to the agreed shapes and place it
-        # on ITS device(s)
-        A: dict[str, dict[int, np.ndarray]] = {
-            name: {} for name in (
-                "codes", "residuals", "ivf", "ivf_offsets", "ivf_lengths",
-                "doclens", "emb_offsets", "probe_cents", "n_cells",
-            )
+        # pass 2 — pad the retained probe tables to the agreed width and
+        # upload them
+        small = {
+            "ivf_offsets": launch.ShardStackBuilder(mesh, (K_max,), np.int32),
+            "ivf_lengths": launch.ShardStackBuilder(mesh, (K_max,), np.int32),
+            "probe_cents": launch.ShardStackBuilder(
+                mesh, (K_max, centroids.shape[1]), np.float32),
+            "n_cells": launch.ShardStackBuilder(mesh, (1,), np.int32),
         }
-        max_doclen = int(doclens.max()) if P_total else 1
-        max_doclen = max(32, -(-max_doclen // 32) * 32)
-        for s, (dl, lc, lr, ivf_local, sl, so, origin) in shards.items():
-            Ns, Ps = len(lc), len(dl)
-            sent_eid, sent_pid = Ns_max, Ps_max
-            # tail pads mirror DeviceIndex.build: max_doclen zeroed rows on
-            # codes/residuals (stage-2 per-candidate dynamic_slice windows)
-            # and IVF_PAD sentinel entries on the IVF (per-cell slice reads)
-            codes_p = np.zeros(Ns_max + max_doclen, np.uint32)
-            codes_p[:Ns] = lc
-            res_p = np.zeros((Ns_max + max_doclen, nbytes), np.uint8)
-            res_p[:Ns] = lr
-            e2p = np.full(Ns_max + 1, sent_pid, np.int32)
-            e2p[:Ns] = np.repeat(np.arange(Ps, dtype=np.int32), dl)
-            # local IVF carries PIDS (one stage-1 read, not two)
-            ivf_p = np.full(Ns_max + IVF_PAD, sent_eid, np.int32)
-            ivf_p[:Ns] = ivf_local
-            ivf_p = e2p[ivf_p]
-            offs = np.full(Ps_max + 1, sent_eid, np.int32)
-            offs[:Ps] = np.concatenate([[0], np.cumsum(dl[:-1])]) if Ps else 0
-            dl_p = np.zeros(Ps_max + 1, np.int32)
-            dl_p[:Ps] = dl
-            A["codes"][s] = codes_p
-            A["residuals"][s] = res_p
-            A["ivf"][s] = ivf_p
-            A["ivf_offsets"][s] = _pad_to(so, K_max, 0)
-            A["ivf_lengths"][s] = _pad_to(sl, K_max, 0)
-            A["probe_cents"][s] = centroids[_pad_to(origin, K_max, 0)]
-            A["n_cells"][s] = np.asarray([len(sl)], np.int32)
-            A["doclens"][s] = dl_p
-            A["emb_offsets"][s] = offs
-
-        tails = {
-            "codes": ((Ns_max + max_doclen,), np.uint32),
-            "residuals": ((Ns_max + max_doclen, nbytes), np.uint8),
-            "ivf": ((Ns_max + IVF_PAD,), np.int32),
-            "ivf_offsets": ((K_max,), np.int32),
-            "ivf_lengths": ((K_max,), np.int32),
-            "doclens": ((Ps_max + 1,), np.int32),
-            "emb_offsets": ((Ps_max + 1,), np.int32),
-            "probe_cents": ((K_max, centroids.shape[1]), np.float32),
-            "n_cells": ((1,), np.int32),
-        }
-        stacked = {
-            name: launch.put_shard_stack(mesh, vals, *tails[name])
-            for name, vals in A.items()
-        }
+        for s, (sl, so, origin) in probe_tables.items():
+            small["ivf_offsets"].add(s, _pad_to(so, K_max, 0))
+            small["ivf_lengths"].add(s, _pad_to(sl, K_max, 0))
+            small["probe_cents"].add(s, centroids[_pad_to(origin, K_max, 0)])
+            small["n_cells"].add(s, np.asarray([len(sl)], np.int32))
+        stacked = {name: b.build() for name, b in {**big, **small}.items()}
 
         return cls(
             mesh=mesh,

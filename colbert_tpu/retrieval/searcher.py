@@ -71,6 +71,18 @@ class Searcher:
         # write and its IVF rebuild leaves a stale IVF — embeddings exist on
         # disk that no probe can reach. Detect and warn (rerun any
         # IndexUpdater op, or rebuild, to repair).
+        import os as _os
+
+        if _os.path.exists(_os.path.join(self.index_path, "compact_commit.json")):
+            # unlike a torn add/remove (stale IVF -> recall loss, warned
+            # below), an interrupted compact publish leaves renumbered
+            # chunks next to the OLD plan/tombstones — pids are wrong and
+            # loads can crash, so fail fast instead of serving corruption
+            raise RuntimeError(
+                "a compact() publish was interrupted mid-commit: run "
+                "IndexUpdater(index_path, encoder).finish_pending_compact() "
+                "to complete it before opening a Searcher"
+            )
         dl64 = np.asarray(self.doclens, np.int64)
         expected_entries = int(dl64.sum())
         if len(self.deleted_pids):
@@ -349,35 +361,12 @@ class Searcher:
     def _search_batch_impl(
         self, queries: Sequence[str], k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-backend search (the device and sharded backends route
+        through launch_search/finish_search in :meth:`search_batch`)."""
         cfg = self.config
         B = len(queries)
         out_pids = np.full((B, k), -1, np.int64)
         out_scores = np.full((B, k), -np.inf, np.float32)
-
-        if self.backend == "device":
-            return self.finish_search(self.launch_search(list(queries), k), k)
-
-        if self.backend == "sharded":
-            Q = jnp.asarray(self.encoder.encode_queries(list(queries)))
-            ncand, threshold = self._stage_params(k)
-            # balanced-IVF duplicates of oversized cells consume probe
-            # slots; compensate so nprobe DISTINCT cells are still typically
-            # reached — scaled by how much of the corpus actually lives in
-            # split cells (device_index.probe_compensation;
-            # config.probe_dup_compensation trades this for speed)
-            nprobe = cfg.nprobe
-            if cfg.probe_dup_compensation:
-                nprobe = self.sharded_index.compensated_nprobe(nprobe)
-            pids_b, scores_b = self.sharded_index.search_Q_batch(
-                Q, k=k, nprobe=nprobe, ncandidates=ncand,
-                cell_cap=self.cell_cap, max_candidates=self.max_candidates,
-                centroid_threshold=threshold,
-                stage1_refine=cfg.plaid_stage1_refine,
-            )
-            kk = min(k, pids_b.shape[1])
-            out_pids[:, :kk] = pids_b[:, :kk]
-            out_scores[:, :kk] = scores_b[:, :kk]
-            return out_pids, out_scores
 
         Q = jnp.asarray(self.encoder.encode_queries(list(queries)))  # (B, Lq, dim)
 

@@ -179,6 +179,13 @@ class BatchingSearcher:
                     for r in batch:
                         if not r.future.done():
                             r.future.set_exception(e)
+                    # count failed batches like _resolve does, so stats
+                    # stay a complete served-batch ledger during incidents
+                    self.stats["queries"] += len(batch)
+                    self.stats["batches"] += 1
+                    self.stats["max_batch_seen"] = max(
+                        self.stats["max_batch_seen"], len(batch)
+                    )
                     continue
                 inflight.append((batch, kmax, handle, searcher))
             else:  # host backend: synchronous

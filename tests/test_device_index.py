@@ -81,7 +81,7 @@ def test_query_batch_bucketing(built):
                passages[12]]
     p5, s5 = s.search_batch(queries, k=5)           # B=5 -> bucket 8
     assert p5.shape == (5, 5)
-    p8, s8 = s._search_batch_impl(queries + [""] * 3, k=5)
+    p8, s8 = s.search_batch(queries + [""] * 3, k=5)  # explicit pad rows
     np.testing.assert_array_equal(p5, p8[:5])
     np.testing.assert_allclose(s5, s8[:5])
     # chunking: B > largest bucket still returns B rows, chunk-equal

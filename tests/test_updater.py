@@ -181,6 +181,63 @@ def test_compact_drops_rows_and_renumbers(built):
     np.testing.assert_array_equal(pid_map2, np.arange(45))
 
 
+def test_compact_crash_mid_publish_recovers(built, monkeypatch):
+    """A crash during compact()'s publish — after the commit journal, with
+    only SOME chunks renamed and the old plan/tombstones still on disk —
+    must be refused by Searcher and fully repaired by
+    finish_pending_compact() (results equal a clean compact)."""
+    import os
+
+    cfg, encoder, passages, path = built
+    up = IndexUpdater(path, encoder)
+    victims = [1, 5, 25, 40]
+    up.remove(victims)
+    q = [passages[3], passages[30]]
+    p_before, sc_before = Searcher(path, encoder=encoder).search_batch(q, k=5)
+
+    # crash simulation: the journal is written, then the publish replay
+    # dies after renaming only chunk 0's files
+    def dying_replay(self):
+        tmp_dir = os.path.join(path, "compact_tmp")
+        for name in fmt.chunk_file_names(0):
+            os.replace(os.path.join(tmp_dir, name), os.path.join(path, name))
+        raise RuntimeError("simulated crash mid-publish")
+
+    monkeypatch.setattr(IndexUpdater, "_replay_compact_journal", dying_replay)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        up.compact()
+    monkeypatch.undo()
+
+    # torn state: renumbered chunk 0 next to old chunks, old plan, old
+    # tombstones, journal present — Searcher must refuse to serve it
+    assert os.path.exists(os.path.join(path, IndexUpdater.COMPACT_JOURNAL))
+    with pytest.raises(RuntimeError, match="interrupted mid-commit"):
+        Searcher(path, encoder=encoder)
+
+    # repair (a fresh process rerunning compact() would hit the same path
+    # via the finish_pending_compact() call at its entry)
+    up2 = IndexUpdater(path, encoder)
+    assert up2.finish_pending_compact() is True
+    assert not os.path.exists(os.path.join(path, IndexUpdater.COMPACT_JOURNAL))
+    assert fmt.check_all_files_saved(path) == []
+    assert len(fmt.load_deleted(path)) == 0
+    plan = fmt.load_plan(path)
+    assert plan["num_documents"] == 44
+    assert plan["num_embeddings"] == int(fmt.load_all_doclens(path).sum())
+    # replay is a no-op once finished
+    assert up2.finish_pending_compact() is False
+
+    pid_map = np.full(48, -1, np.int64)
+    keep = np.setdiff1d(np.arange(48), victims)
+    pid_map[keep] = np.arange(44)
+    s = Searcher(path, encoder=encoder)
+    p_after, sc_after = s.search_batch(q, k=5)
+    np.testing.assert_array_equal(
+        p_after, np.where(p_before >= 0, pid_map[p_before], -1)
+    )
+    np.testing.assert_allclose(sc_after, sc_before, rtol=1e-5, atol=1e-5)
+
+
 def test_torn_update_detected(built, caplog):
     """A crash between the updater's plan write and IVF rebuild leaves a
     stale IVF; Searcher must warn (embeddings exist that no probe reaches)."""
