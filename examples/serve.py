@@ -27,13 +27,26 @@ def main() -> None:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--max-batch", type=int, default=128)
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint dir (overrides the index config's)")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
     from colbert_tpu import Searcher
     from colbert_tpu.serving.http import serve
 
-    searcher = Searcher(args.index_dir)
+    encoder = None
+    if args.checkpoint:
+        from colbert_tpu.config import ColBERTConfig
+        from colbert_tpu.models.encoder import ColBERTEncoder
+        from colbert_tpu.models.hf_loader import load_checkpoint
+
+        config = ColBERTConfig.load(
+            os.path.join(args.index_dir, "config.json")
+        )
+        bert_cfg, params, tokenizer = load_checkpoint(args.checkpoint)
+        encoder = ColBERTEncoder(params, bert_cfg, tokenizer, config)
+    searcher = Searcher(args.index_dir, encoder=encoder)
     print(f"serving {args.index_dir} on http://{args.host}:{args.port}",
           file=sys.stderr)
     serve(searcher, args.host, args.port,
