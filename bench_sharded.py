@@ -32,12 +32,25 @@ def main() -> None:
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth/idx4m"
     n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
+    import os
+
     import jax
 
+    # env vars alone are too late here: the axon sitecustomize imports jax
+    # at interpreter start pinned to the TPU platform, so (like
+    # tests/conftest.py) force the rehearsal mesh via jax.config — the CPU
+    # backend initializes lazily, so the host-device-count flag still takes
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
     if jax.default_backend() != "cpu" or jax.device_count() < 8:
-        log("NOTE: run with JAX_PLATFORMS=cpu "
-            "XLA_FLAGS=--xla_force_host_platform_device_count=8 for the "
-            "8-way rehearsal mesh")
+        log("NOTE: run with JAX_PLATFORMS=cpu for the 8-way rehearsal mesh "
+            "(forced via jax.config; the axon sitecustomize pins the TPU "
+            "platform otherwise)")
     import jax.numpy as jnp
 
     from colbert_tpu.parallel.mesh import make_mesh
