@@ -244,8 +244,8 @@ def _build(
         else [passages[p] for p in pids]
     )
     with tracer.phase("sample_encode"):
-        sample_embs, sample_valid, sample_doclens = encoder.encode_passages_to_device(
-            sampled
+        sample_embs, sample_valid, sample_doclens, sample_layout = (
+            encoder.encode_passages_to_device(sampled, return_layout=True)
         )
     avg_doclen_est = float(sample_doclens.mean()) if len(sample_doclens) else 0.0
 
@@ -297,9 +297,25 @@ def _build(
     )
     logger.info("codec trained in %.1fs (avg_residual=%.4f)", time.time() - t, avg_residual)
 
+    # small-corpus fast path: sample_pids takes the WHOLE collection whenever
+    # 16·√(120·N) ≥ N (every N ≤ 30720), so the device-resident sample
+    # already holds the corpus embeddings — compress them directly instead of
+    # re-encoding every chunk (the reference runs the full BERT sweep twice:
+    # collection_indexer.jl:56-79 then :271-297). One fused compress + one
+    # D2H replaces the whole per-chunk encode pipeline. The row cap keeps the
+    # bf16 sample (+ its packed artifacts) comfortably inside HBM.
+    precomputed = None
+    if len(pids) == n and sample_embs.shape[0] <= 8_000_000:
+        with tracer.phase("chunk_encode_compress"):
+            flat_codes, flat_res = encoder.compress_sample_to_host(
+                sample_embs, sample_layout, sample_doclens,
+                centroids_dev, cutoffs_dev, nbits=config.nbits,
+            )
+        precomputed = (flat_codes, flat_res, sample_doclens)
+
     _build_chunks(
         config, encoder, passages, index_path, plan, tracer,
-        centroids_dev, cutoffs_dev, t0,
+        centroids_dev, cutoffs_dev, t0, precomputed=precomputed,
     )
 
 
@@ -313,6 +329,7 @@ def _build_chunks(
     centroids_dev: jnp.ndarray,
     cutoffs_dev: jnp.ndarray,
     t0: float,
+    precomputed: tuple | None = None,
 ) -> None:
     # --- phase 4: fused encode+compress chunks (collection_indexer.jl:271-297) ---
     # Multi-host: with nranks > 1 each rank builds only its stride of chunks
@@ -324,6 +341,9 @@ def _build_chunks(
     n = len(passages)
     chunksize = plan["chunksize"]
     nranks = max(1, config.nranks)
+    if precomputed is not None:  # see _build's small-corpus fast path
+        pre_codes, pre_res, pre_doclens = precomputed
+        pre_offsets = np.concatenate([[0], np.cumsum(pre_doclens)]).astype(np.int64)
     all_codes: list[np.ndarray | None] = []
     for chunk_idx in range(plan["num_chunks"]):
         lo = chunk_idx * chunksize
@@ -336,10 +356,15 @@ def _build_chunks(
             all_codes.append(None)  # another rank's chunk, not built yet
             continue
         t = time.time()
-        with tracer.phase("chunk_encode_compress"):
-            codes, residuals, doclens = encoder.encode_passages_compressed(
-                passages[lo:hi], centroids_dev, cutoffs_dev, nbits=config.nbits
-            )
+        if precomputed is not None:
+            codes = pre_codes[pre_offsets[lo]:pre_offsets[hi]]
+            residuals = pre_res[pre_offsets[lo]:pre_offsets[hi]]
+            doclens = pre_doclens[lo:hi]
+        else:
+            with tracer.phase("chunk_encode_compress"):
+                codes, residuals, doclens = encoder.encode_passages_compressed(
+                    passages[lo:hi], centroids_dev, cutoffs_dev, nbits=config.nbits
+                )
         fmt.save_chunk(
             index_path,
             chunk_idx,

@@ -132,9 +132,15 @@ def _train_codec_sharded(
     centroids = jax.device_put(data[jnp.asarray(init_idx)], repl)
 
     step = _sharded_step_fn(mesh, num_partitions, 1024)
-    for _ in range(kmeans_niters):
+    # convergence is checked only every few iterations: each host read of the
+    # shift scalar is a device round-trip (~25-50ms on the tunneled chip, ×20
+    # iters it dominates the fit — see ops/kmeans._kmeans_fused), and the
+    # un-read steps pipeline asynchronously. Early exit lands within
+    # (sync_every - 1) extra iterations of the reference's per-iter check.
+    sync_every = 5
+    for it in range(1, kmeans_niters + 1):
         centroids, shift = step(data, centroids, weights)
-        if float(shift) < tol:
+        if (it % sync_every == 0 or it == kmeans_niters) and float(shift) < tol:
             break
 
     heldout = jax.device_put(jnp.asarray(heldout, jnp.float32), repl)

@@ -303,10 +303,13 @@ class ColBERTEncoder:
                 yield idx, ids, mask, keep
 
     def encode_passages_to_device(
-        self, passages: Sequence[str]
+        self, passages: Sequence[str], *, return_layout: bool = False
     ) -> Tuple[jnp.ndarray, np.ndarray, np.ndarray]:
         """-> (padded flat embeddings ON DEVICE (M, dim), valid (M,) host bool,
-        doclens (N,) host).
+        doclens (N,) host). With ``return_layout`` a fourth element records
+        each batch block's (orig_indices, keep, row_offset, B, L) so a later
+        pass (``compress_sample_to_host``) can map padded rows back to
+        passage order.
 
         Device-resident variant for the codec training phase: embeddings
         never cross the device->host link. Instead of compacting (which would
@@ -347,6 +350,7 @@ class ColBERTEncoder:
 
         doclens = np.zeros((n,), np.int64)
         valid = np.zeros((padded,), bool)
+        layout: list[tuple] = []
         buf = jnp.zeros((padded, self.dim), jnp.bfloat16)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -377,8 +381,57 @@ class ColBERTEncoder:
             )
             valid[offset:offset + B * L] = keep_h.reshape(B * L)
             doclens[idx] = keep.sum(axis=1)
+            layout.append((idx, keep, offset, B, L))
             offset += B * L
+        if return_layout:
+            return buf, valid, doclens, layout
         return buf, valid, doclens
+
+    def compress_sample_to_host(
+        self,
+        buf: jnp.ndarray,
+        layout: list[tuple],
+        doclens: np.ndarray,
+        centroids: jnp.ndarray,
+        bucket_cutoffs: jnp.ndarray,
+        *,
+        nbits: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Compress an already-encoded device-resident sample into host
+        (codes (M,), packed residuals (M, nbytes)) in passage order.
+
+        The small-corpus fast path: when the planner samples the ENTIRE
+        collection (``sample_pids``' 16·√(120·N) ≥ N for every N ≤ 30720),
+        the sample embeddings already ARE the corpus embeddings, yet the
+        reference re-encodes every chunk from scratch for the index proper
+        (collection_indexer.jl:271-297). This pass replaces that second full
+        BERT sweep with ONE fused compress program over the padded sample
+        buffer plus ONE D2H of the packed artifacts (~36 B/token at nbits=2).
+
+        Numerics note: the sample rides bf16 (the HBM-halving documented in
+        ``encode_passages_to_device``), so codes/bucket indices can differ
+        from the fp32 fused path at ulp-level argmax/bucket ties — far below
+        the codec's own quantization granularity.
+        """
+        from colbert_tpu.ops import codec as codec_ops
+
+        codes_d, res_d = codec_ops.compress(
+            buf, centroids, bucket_cutoffs, nbits=nbits
+        )
+        _start_host_copy(codes_d, res_d)
+        codes_h = np.asarray(codes_d)
+        res_h = np.asarray(res_d)
+        nbytes = self.dim // 8 * nbits
+        dest_offsets = np.concatenate([[0], np.cumsum(doclens[:-1])])
+        total = int(doclens.sum())
+        flat_codes = np.empty((total,), np.uint32)
+        flat_res = np.empty((total, nbytes), np.uint8)
+        for idx, keep, offset, B, L in layout:
+            blk_codes = codes_h[offset:offset + B * L].reshape(B, L)[: len(idx)]
+            blk_res = res_h[offset:offset + B * L].reshape(B, L, nbytes)[: len(idx)]
+            _scatter_compact(flat_codes, dest_offsets, idx, keep, blk_codes)
+            _scatter_compact(flat_res, dest_offsets, idx, keep, blk_res)
+        return flat_codes, flat_res
 
     def encode_passages_compressed(
         self,

@@ -87,3 +87,62 @@ def test_encode_compressed_matches_stepwise():
     np.testing.assert_array_equal(dl_f, dl)
     np.testing.assert_array_equal(codes_f, np.asarray(codes_s))
     np.testing.assert_array_equal(res_f, np.asarray(res_s))
+
+
+def test_compress_sample_matches_fused_chunk_path():
+    """The small-corpus fast path (compress the device-resident sample
+    instead of re-encoding — builder.py's `precomputed`) must reproduce the
+    fused per-chunk encode+compress artifacts. The sample rides bf16, so
+    codes/bucket ties may flip at ulp level; everything else is identical."""
+    enc = make_encoder(dim=32, seed=0)
+    passages = synthetic_collection(17, seed=7)
+    buf, valid, doclens, layout = enc.encode_passages_to_device(
+        passages, return_layout=True
+    )
+    k, nbits = 16, 2
+    rng = np.random.default_rng(0)
+    cent = rng.standard_normal((k, 32)).astype(np.float32)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    cutoffs = jnp.asarray(np.array([-0.02, 0.0, 0.02], np.float32))
+    cent_d = jnp.asarray(cent)
+
+    codes_fast, res_fast = enc.compress_sample_to_host(
+        buf, layout, doclens, cent_d, cutoffs, nbits=nbits
+    )
+    codes_ref, res_ref, dl_ref = enc.encode_passages_compressed(
+        passages, cent_d, cutoffs, nbits=nbits
+    )
+    np.testing.assert_array_equal(doclens, dl_ref)
+    assert codes_fast.shape == codes_ref.shape
+    assert res_fast.shape == res_ref.shape
+    # bf16 sample vs fp32 fused path: agreement must be near-total
+    assert (codes_fast == codes_ref).mean() > 0.98
+    assert (res_fast == res_ref).all(axis=1).mean() > 0.90
+
+
+def test_builder_fast_path_produces_searchable_index(tmp_path):
+    """An index built through the sample-reuse fast path (always taken at
+    small corpus sizes: sample_pids covers N<=30720 entirely) must be
+    complete and exact under search."""
+    from colbert_tpu.indexing.builder import Indexer
+    from colbert_tpu.indexing import builder as builder_mod
+
+    enc = make_encoder(dim=32, seed=0)
+    passages = synthetic_collection(24, seed=11)
+    taken = {}
+    orig = enc.compress_sample_to_host
+
+    def spy(*a, **kw):
+        taken["fast"] = True
+        return orig(*a, **kw)
+
+    enc.compress_sample_to_host = spy
+    Indexer(enc.config, encoder=enc, collection=passages).index(
+        str(tmp_path / "idx")
+    )
+    assert taken.get("fast"), "small corpus must take the sample-reuse path"
+    from colbert_tpu.retrieval.searcher import Searcher
+
+    s = Searcher(str(tmp_path / "idx"), encoder=enc)
+    ranking = s.search(passages[5][:40], k=3)
+    assert ranking[0][0] == 5
