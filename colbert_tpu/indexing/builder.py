@@ -304,8 +304,12 @@ def _build(
     # collection_indexer.jl:56-79 then :271-297). One fused compress + one
     # D2H replaces the whole per-chunk encode pipeline. The row cap keeps the
     # bf16 sample (+ its packed artifacts) comfortably inside HBM.
+    # Gated on nranks == 1: with striding ranks, rank 0 would compress +
+    # transfer the whole corpus while writing only 1/nranks of the chunks,
+    # and the other ranks never reach this branch (they resume via the saved
+    # codec) — the per-chunk path wastes nothing there.
     precomputed = None
-    if len(pids) == n and sample_embs.shape[0] <= 8_000_000:
+    if config.nranks == 1 and len(pids) == n and sample_embs.shape[0] <= 8_000_000:
         with tracer.phase("chunk_encode_compress"):
             flat_codes, flat_res = encoder.compress_sample_to_host(
                 sample_embs, sample_layout, sample_doclens,

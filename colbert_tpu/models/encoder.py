@@ -328,8 +328,9 @@ class ColBERTEncoder:
         cfg = self.config
         n = len(passages)
         if n == 0:
-            return (jnp.zeros((0, self.dim), jnp.float32), np.zeros((0,), bool),
-                    np.zeros((0,), np.int64))
+            empty = (jnp.zeros((0, self.dim), jnp.float32), np.zeros((0,), bool),
+                     np.zeros((0,), np.int64))
+            return empty + ([],) if return_layout else empty
         # materialize the batch plan first (tokenized host arrays, ~6B/token)
         # so the exact row total is known and the device buffer can be
         # preallocated — appends are then donated in-place updates with NO

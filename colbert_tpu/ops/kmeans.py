@@ -51,6 +51,22 @@ def _adaptive_bsize(k: int, requested: int) -> int:
     return max(64, min(requested, (cap // 64) * 64))
 
 
+def _centroid_terms(centroids: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """-> (centroidsᵀ fp32, ‖c‖² per centroid) shared by every chunk kernel."""
+    c = centroids.astype(jnp.float32)
+    return c.T, jnp.sum(c**2, axis=-1)
+
+
+def _assign_chunk(chunk: jax.Array, ct: jax.Array, c_sq: jax.Array) -> jax.Array:
+    """argmin_c ‖x - c‖² for one (bsize, dim) chunk via max of 2·x·c - ‖c‖²
+    (‖x‖² is constant per row). The single distance kernel every path —
+    assignment, Lloyd stats, the fused loop's final pass — goes through."""
+    scores = 2.0 * jnp.dot(
+        chunk.astype(jnp.float32), ct, preferred_element_type=jnp.float32
+    ) - c_sq
+    return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("bsize",))
 def assign_clusters(
     data: jax.Array, centroids: jax.Array, *, bsize: int = 1024
@@ -64,16 +80,10 @@ def assign_clusters(
     nchunks = max(1, -(-n // bsize))
     padded = nchunks * bsize
     data_p = jnp.pad(data, ((0, padded - n), (0, 0))).reshape(nchunks, bsize, dim)
-    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=-1)  # (k,)
-    ct = centroids.T.astype(jnp.float32)
-
-    def one(chunk):
-        scores = 2.0 * jnp.dot(
-            chunk.astype(jnp.float32), ct, preferred_element_type=jnp.float32
-        ) - c_sq
-        return jnp.argmax(scores, axis=-1).astype(jnp.int32)
-
-    return jax.lax.map(one, data_p).reshape(padded)[:n]
+    ct, c_sq = _centroid_terms(centroids)
+    return jax.lax.map(
+        lambda chunk: _assign_chunk(chunk, ct, c_sq), data_p
+    ).reshape(padded)[:n]
 
 
 def _chunked_rows(
@@ -97,16 +107,12 @@ def _stats_from_chunks(
 ) -> Tuple[jax.Array, jax.Array]:
     """scan over prepared chunks -> per-cluster (sum, count)."""
     dim = data_p.shape[-1]
-    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=-1)
-    ct = centroids.T.astype(jnp.float32)
+    ct, c_sq = _centroid_terms(centroids)
 
     def body(carry, inp):
         sums, counts = carry
         chunk, w = inp
-        scores = 2.0 * jnp.dot(
-            chunk.astype(jnp.float32), ct, preferred_element_type=jnp.float32
-        ) - c_sq
-        assign = jnp.argmax(scores, axis=-1)
+        assign = _assign_chunk(chunk, ct, c_sq)
         sums = sums.at[assign].add(chunk.astype(jnp.float32) * w[:, None])
         counts = counts.at[assign].add(w)
         return (sums, counts), None
@@ -216,17 +222,10 @@ def _kmeans_fused(
                      jnp.float32(jnp.inf))
     )
     if with_assignments:
-        c_sq = jnp.sum(centroids ** 2, axis=-1)
-        ct = centroids.T
-
-        def one(chunk):
-            scores = 2.0 * jnp.dot(
-                chunk.astype(jnp.float32), ct,
-                preferred_element_type=jnp.float32,
-            ) - c_sq
-            return jnp.argmax(scores, axis=-1).astype(jnp.int32)
-
-        assignments = jax.lax.map(one, data_p).reshape(-1)[:n]
+        ct, c_sq = _centroid_terms(centroids)
+        assignments = jax.lax.map(
+            lambda chunk: _assign_chunk(chunk, ct, c_sq), data_p
+        ).reshape(-1)[:n]
     else:
         assignments = jnp.zeros((0,), jnp.int32)
     return centroids, assignments, it, shift

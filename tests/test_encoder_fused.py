@@ -146,3 +146,13 @@ def test_builder_fast_path_produces_searchable_index(tmp_path):
     s = Searcher(str(tmp_path / "idx"), encoder=enc)
     ranking = s.search(passages[5][:40], k=3)
     assert ranking[0][0] == 5
+
+
+def test_encode_to_device_empty_input_honors_return_layout():
+    enc = make_encoder(dim=32, seed=0)
+    buf, valid, doclens = enc.encode_passages_to_device([])
+    assert buf.shape == (0, 32) and valid.shape == (0,) and doclens.shape == (0,)
+    buf, valid, doclens, layout = enc.encode_passages_to_device(
+        [], return_layout=True
+    )
+    assert layout == []

@@ -27,10 +27,13 @@ def test_example_help_and_docstring_flags(script):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "usage" in r.stdout.lower()
-    # every --flag the module docstring advertises must exist in argparse
+    # every --flag the module docstring advertises must exist in argparse;
+    # compare whole option tokens, not substrings (a docstring's --check
+    # must not pass because --checkpoint exists)
     doc = ast.get_docstring(ast.parse(open(script).read())) or ""
-    for flag in set(re.findall(r"--[a-z][a-z0-9-]+", doc)):
-        assert flag in r.stdout, (
+    defined = set(re.findall(r"--[a-z][a-z0-9_-]+", r.stdout))
+    for flag in set(re.findall(r"--[a-z][a-z0-9_-]+", doc)):
+        assert flag in defined, (
             f"{os.path.basename(script)} docstring advertises {flag} "
-            f"but --help does not list it"
+            f"but --help does not list it (defined: {sorted(defined)})"
         )
