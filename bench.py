@@ -69,7 +69,12 @@ def make_bench_encoder(n_words: int = 2000):
     bert_cfg = bench_bert_config()
     cfg = ColBERTConfig(
         dim=128, doc_maxlen=300, query_maxlen=32, index_bsize=256,
-        length_bucket=128, nbits=2, kmeans_niters=4, chunksize=4096,
+        # length_bucket=32: the bench corpus tokenizes to ~150-160 tokens, so
+        # 128-buckets pad every batch to 256 rows (1.43x pad overhead on the
+        # sample encode — the build's dominant device program). Measured A/B
+        # (same session, 3 builds each): 1607 p/s at 128, 1731 at 64, 1825
+        # at 32. Doc-length buckets don't touch the serving path.
+        length_bucket=32, nbits=2, kmeans_niters=4, chunksize=4096,
         # serving funnel: static shapes mean the jitted search always pays
         # its capacity, so cap the dedup set (score-ordered truncation +
         # PLAID pruning; top-k preservation is tested). Stage-2 docs stay at
