@@ -30,7 +30,9 @@ __all__ = [
     "ColBERTParams",
     "init_colbert_params",
     "encode_batch",
+    "encode_compact_batch",
     "encode_compress_batch",
+    "encode_compress_compact_batch",
     "compact_doc_embeddings",
 ]
 
@@ -157,6 +159,78 @@ def encode_compress_batch(
         flat, centroids[codes.astype(jnp.int32)], bucket_cutoffs, nbits=nbits
     )
     return codes.reshape(B, L), residuals.reshape(B, L, -1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype_name", "use_flash",
+                                   "out_dtype_name"))
+def encode_compact_batch(
+    params: ColBERTParams,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    keep_mask: jax.Array,
+    take_idx: jax.Array,
+    *,
+    cfg: BertConfig,
+    dtype_name: str = "bfloat16",
+    use_flash: bool = False,
+    out_dtype_name: str = "float32",
+) -> jax.Array:
+    """``encode_batch`` fused with keep-row compaction -> ``(M, dim)``.
+
+    ``take_idx`` (M,) int32 holds the flat row-major positions of the kept
+    tokens in the ``(B·L)`` grid — host-computed from the keep mask before
+    dispatch (padding slots duplicate row 0; callers slice to the real
+    count). Shipping only kept rows cuts D2H bytes by the pad+skiplist
+    fraction — the wire, not the forward, bounds ``encode_passages`` on a
+    tunneled chip. The gather is a batched-INDEX lookup into a shared
+    operand (the cheap kind — see docs/design.md §5); M is bucketed so the
+    program shape set stays closed.
+    """
+    emb = _forward_normalized(
+        params, input_ids, attention_mask, keep_mask, cfg=cfg,
+        dtype_name=dtype_name, use_flash=use_flash,
+    )
+    comp = emb.reshape(-1, emb.shape[-1])[take_idx]
+    if out_dtype_name == "int8":
+        return jnp.clip(jnp.round(comp * 127.0), -127, 127).astype(jnp.int8)
+    return comp.astype(jnp.dtype(out_dtype_name))
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype_name", "nbits", "use_flash"))
+def encode_compress_compact_batch(
+    params: ColBERTParams,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    keep_mask: jax.Array,
+    centroids: jax.Array,
+    bucket_cutoffs: jax.Array,
+    take_idx: jax.Array,
+    *,
+    cfg: BertConfig,
+    dtype_name: str = "bfloat16",
+    nbits: int = 2,
+    use_flash: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """``encode_compress_batch`` fused with keep-row compaction.
+
+    -> (codes (M,) uint32, packed residuals (M, dim//8·nbits) uint8), kept
+    rows only (see :func:`encode_compact_batch` for the ``take_idx``
+    contract). Compacting BEFORE compressing also skips the codec work for
+    masked rows: the centroid-assignment matmul runs on M rows instead of
+    B·L.
+    """
+    from colbert_tpu.ops import codec as codec_ops
+
+    emb = _forward_normalized(
+        params, input_ids, attention_mask, keep_mask, cfg=cfg,
+        dtype_name=dtype_name, use_flash=use_flash,
+    )
+    flat = emb.reshape(-1, emb.shape[-1])[take_idx]
+    codes = codec_ops.compress_into_codes(flat, centroids, bsize=1024)
+    residuals = codec_ops.compress_residuals(
+        flat, centroids[codes.astype(jnp.int32)], bucket_cutoffs, nbits=nbits
+    )
+    return codes, residuals
 
 
 def skiplist_keep_mask(ids: np.ndarray, mask: np.ndarray, skiplist: list[int]) -> np.ndarray:

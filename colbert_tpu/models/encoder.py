@@ -34,7 +34,9 @@ from colbert_tpu.models.bert import BertConfig
 from colbert_tpu.models.colbert import (
     ColBERTParams,
     encode_batch,
+    encode_compact_batch,
     encode_compress_batch,
+    encode_compress_compact_batch,
     skiplist_keep_mask,
 )
 from colbert_tpu.tokenization.tensorize import (
@@ -69,6 +71,40 @@ def _start_host_copy(*arrays) -> None:
             a.copy_to_host_async()
         except AttributeError:
             return
+
+
+def _take_rows(keep: np.ndarray) -> tuple[np.ndarray, int]:
+    """keep mask (B, L) -> (take (M,) int32 flat kept-row indices padded to a
+    2048-row bucket with duplicates of row 0, real count). The bucket keeps
+    the compact-output program shape set closed (every distinct M is a fresh
+    XLA compile)."""
+    flat = np.flatnonzero(keep.reshape(-1)).astype(np.int32)
+    v = flat.shape[0]
+    m = max(2048, -(-v // 2048) * 2048)
+    take = np.zeros((m,), np.int32)
+    take[:v] = flat
+    return take, v
+
+
+def _scatter_compact_rows(
+    out: np.ndarray,
+    dest_offsets: np.ndarray,
+    idx: np.ndarray,
+    counts: np.ndarray,
+    values: np.ndarray,
+) -> None:
+    """Scatter one batch's ALREADY-COMPACTED kept rows into the global flat
+    array. ``values`` is ``(M, ...)`` in keep-mask row-major order (passage
+    ``idx[r]``'s kept tokens are contiguous); ``counts[r]`` is passage
+    ``idx[r]``'s kept-token count."""
+    total = int(counts.sum())
+    if total == 0:
+        return
+    starts = np.concatenate([[0], np.cumsum(counts[:-1])])
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    dest = np.repeat(dest_offsets[idx], counts) + within
+    vals = values[:total]
+    out[dest] = vals if vals.dtype == out.dtype else vals.astype(out.dtype)
 
 
 def _scatter_compact(
@@ -199,16 +235,19 @@ class ColBERTEncoder:
         most ``MAX_INFLIGHT`` outputs on device (async host copies started at
         dispatch), slice off mesh-padding rows at drain.
 
-        ``dispatch(idx, ids, mask, keep) -> tuple of device arrays`` with a
-        leading batch dim. -> (drained [(idx, keep, host arrays...)], doclens).
+        ``dispatch(idx, ids, mask, keep) -> (tuple of device arrays, nrows)``
+        where ``nrows`` is how many leading rows of each output are real
+        (the batch size for padded-block outputs, the kept-token count for
+        compacted outputs). -> (drained [(idx, keep, host arrays...)],
+        doclens).
         """
         doclens = np.zeros((len(passages),), np.int64)
 
         def drain(item):
-            idx, keep, outs = item
+            idx, keep, outs, nrows = item
             host = []
             for o in outs:
-                h = np.asarray(o)[: len(idx)]
+                h = np.asarray(o)[:nrows]
                 if h.dtype == np.int8:  # int8 wire: dequantize (see encode_batch)
                     h = h.astype(np.float32) / 127.0
                 host.append(h)
@@ -216,10 +255,10 @@ class ColBERTEncoder:
 
         drained, pending = [], []
         for idx, ids, mask, keep in self._doc_batches(passages):
-            outs = dispatch(idx, ids, mask, keep)
+            outs, nrows = dispatch(idx, ids, mask, keep)
             doclens[idx] = keep.sum(axis=1)
             _start_host_copy(*outs)
-            pending.append((idx, keep, outs))
+            pending.append((idx, keep, outs, nrows))
             if len(pending) > MAX_INFLIGHT:
                 drained.append(drain(pending.pop(0)))
         drained.extend(drain(p) for p in pending)
@@ -251,21 +290,38 @@ class ColBERTEncoder:
         if n == 0:
             return np.zeros((0, self.dim), np.float32), np.zeros((0,), np.int64)
 
+        compact = self.mesh is None  # under a mesh the take-gather would
+        # all-gather the sharded batch; ship padded blocks there instead
+
         def dispatch(idx, ids, mask, keep):
             ids_d, mask_d, keep_d = self._put_batch(ids, mask, keep)
-            return (encode_batch(
-                self.params, ids_d, mask_d, keep_d,
+            common = dict(
                 cfg=self.bert_config,
                 dtype_name=cfg.activation_dtype,
                 use_flash=self._flash_for(ids.shape[1]),
                 out_dtype_name=cfg.transfer_dtype,
-            ),)
+            )
+            if compact:
+                # ship ONLY kept rows: pad + skiplist rows never cross the
+                # wire (the D2H link, not the forward, bounds this path)
+                take, v = _take_rows(keep)
+                return (encode_compact_batch(
+                    self.params, ids_d, mask_d, keep_d, jnp.asarray(take),
+                    **common,
+                ),), v
+            return (encode_batch(
+                self.params, ids_d, mask_d, keep_d, **common,
+            ),), len(idx)
 
         drained, doclens = self._pipeline_batches(passages, dispatch)
         dest_offsets = np.concatenate([[0], np.cumsum(doclens[:-1])])
         flat = np.empty((int(doclens.sum()), self.dim), np.float32)
         for idx, keep, emb in drained:
-            _scatter_compact(flat, dest_offsets, idx, keep, emb)
+            if compact:
+                counts = keep.sum(axis=1).astype(np.int64)
+                _scatter_compact_rows(flat, dest_offsets, idx, counts, emb)
+            else:
+                _scatter_compact(flat, dest_offsets, idx, keep, emb)
         return flat, doclens
 
     def _doc_batches(
@@ -456,15 +512,28 @@ class ColBERTEncoder:
             return (np.zeros((0,), np.uint32), np.zeros((0, nbytes), np.uint8),
                     np.zeros((0,), np.int64))
 
+        compact = self.mesh is None  # see encode_passages
+
         def dispatch(idx, ids, mask, keep):
             ids_d, mask_d, keep_d = self._put_batch(ids, mask, keep)
-            return encode_compress_batch(
-                self.params, ids_d, mask_d, keep_d, centroids, bucket_cutoffs,
+            common = dict(
                 cfg=self.bert_config,
                 dtype_name=cfg.activation_dtype,
                 nbits=nbits,
                 use_flash=self._flash_for(ids.shape[1]),
             )
+            if compact:
+                # compact BEFORE compressing: pad/skiplist rows skip the
+                # codec matmul and never cross the wire
+                take, v = _take_rows(keep)
+                return encode_compress_compact_batch(
+                    self.params, ids_d, mask_d, keep_d, centroids,
+                    bucket_cutoffs, jnp.asarray(take), **common,
+                ), v
+            return encode_compress_batch(
+                self.params, ids_d, mask_d, keep_d, centroids, bucket_cutoffs,
+                **common,
+            ), len(idx)
 
         drained, doclens = self._pipeline_batches(passages, dispatch)
         dest_offsets = np.concatenate([[0], np.cumsum(doclens[:-1])])
@@ -472,8 +541,13 @@ class ColBERTEncoder:
         flat_codes = np.empty((total,), np.uint32)
         flat_res = np.empty((total, nbytes), np.uint8)
         for idx, keep, codes, res in drained:
-            _scatter_compact(flat_codes, dest_offsets, idx, keep, codes)
-            _scatter_compact(flat_res, dest_offsets, idx, keep, res)
+            if compact:
+                counts = keep.sum(axis=1).astype(np.int64)
+                _scatter_compact_rows(flat_codes, dest_offsets, idx, counts, codes)
+                _scatter_compact_rows(flat_res, dest_offsets, idx, counts, res)
+            else:
+                _scatter_compact(flat_codes, dest_offsets, idx, keep, codes)
+                _scatter_compact(flat_res, dest_offsets, idx, keep, res)
         return flat_codes, flat_res, doclens
 
     # -- queries -------------------------------------------------------------
