@@ -270,33 +270,43 @@ def host_backend_stage(encoder, tmp) -> None:
 
 
 def encode_stages(encoder, passages) -> None:
-    """Encode-throughput stages (non-headline): bf16 wire, int8 wire."""
-    warm = passages[:512]
+    """Encode-throughput stages (non-headline): bf16 wire, int8 wire.
+
+    Each wire is timed as the best of two full passes: the compact-output
+    programs are shaped by (bucketed length, bucketed kept-row count), so a
+    small warmup set cannot cover every shape the big pass hits — the first
+    full pass absorbs any remaining compiles (persistently cached), the
+    second is steady state, matching the build stage's warm methodology."""
     t = time.time()
-    encoder.encode_passages(warm)
+    encoder.encode_passages(passages[:512])
     log(f"warmup encode (512 passages, incl. compile): {time.time() - t:.1f}s")
-    t0 = time.time()
-    embs, doclens = encoder.encode_passages(passages[:2048])
-    dt = time.time() - t0
+
+    def best_of_two():
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            embs, doclens = encoder.encode_passages(passages[:2048])
+            times.append(time.time() - t0)
+        return min(times), doclens
+
+    dt, doclens = best_of_two()
     enc_pps = 2048 / dt
-    # MFU from padded tokens actually pushed through the MXU
-    padded_tokens = 2048 * 128  # length_bucket=128 covers the ~110-word docs
-    tput_tok = padded_tokens / dt
+    # MFU from tokens pushed through the MXU (~160 padded rows/doc at the
+    # bench's 32-token buckets; conservative: uses the kept-token count)
+    tput_tok = int(doclens.sum()) / dt
     mfu = tput_tok * BERT_BASE_GFLOP_PER_TOKEN / 1e3 / BF16_PEAK_TFLOPS
     log(f"encode: 2048 passages ({int(doclens.sum())} embeddings) in {dt:.2f}s "
         f"= {enc_pps:.1f} passages/s, {tput_tok/1e3:.1f}k tokens/s, "
         f"~{mfu*100:.1f}% MFU (vs reference 40 p/s: {enc_pps/40:.1f}x; "
         f"payload rides the ~30 MB/s tunneled D2H link in "
-        f"{encoder.config.transfer_dtype})")
+        f"{encoder.config.transfer_dtype}; best of 2 passes)")
     # opt-in int8 wire: halves bf16's bytes again (the transfer still bounds
     # encode on this link); quantization error ~ bf16's own rounding
     encoder.config.transfer_dtype = "int8"
-    encoder.encode_passages(warm)  # compile the int8-out program
-    t0 = time.time()
-    encoder.encode_passages(passages[:2048])
-    dt8 = time.time() - t0
+    dt8, _ = best_of_two()
     log(f"encode with int8 wire (opt-in transfer_dtype): "
-        f"{2048/dt8:.1f} passages/s ({2048/dt8/enc_pps:.2f}x bf16 wire)")
+        f"{2048/dt8:.1f} passages/s ({2048/dt8/enc_pps:.2f}x bf16 wire; "
+        f"best of 2 passes)")
     encoder.config.transfer_dtype = "bfloat16"
 
 
