@@ -156,3 +156,33 @@ def test_encode_to_device_empty_input_honors_return_layout():
         [], return_layout=True
     )
     assert layout == []
+
+
+def test_take_rows_bucketing_and_scatter_roundtrip():
+    import numpy as np
+
+    from colbert_tpu.models.encoder import _scatter_compact_rows, _take_rows
+
+    rng = np.random.default_rng(7)
+    keep = rng.random((5, 9)) < 0.6
+    take, v = _take_rows(keep)
+    assert v == int(keep.sum())
+    assert take.shape[0] == 2048  # minimum bucket
+    assert (take[:v] == np.flatnonzero(keep.reshape(-1))).all()
+    assert (take[v:] == 0).all()
+
+    # compacted rows scatter back to exactly where the block scatter puts them
+    counts = keep.sum(axis=1).astype(np.int64)
+    idx = np.array([3, 0, 4, 1, 2])  # original passage ids, batch order
+    doclens = np.zeros(5, np.int64)
+    doclens[idx] = counts
+    dest_offsets = np.concatenate([[0], np.cumsum(doclens[:-1])])
+    values = rng.standard_normal((5, 9, 4)).astype(np.float32)
+    comp = values[keep]  # row-major kept rows, like the device gather
+    out = np.zeros((int(counts.sum()), 4), np.float32)
+    _scatter_compact_rows(out, dest_offsets, idx, counts, comp)
+    from colbert_tpu.models.encoder import _scatter_compact
+
+    out_block = np.zeros_like(out)
+    _scatter_compact(out_block, dest_offsets, idx, keep, values)
+    assert (out == out_block).all()
