@@ -379,13 +379,20 @@ def main() -> None:
 
 
 def _time_qps(s, queries, B: int, reps: int = 3, k: int = 10) -> float:
+    # best-of-reps, not the mean: each rep is a full host round trip
+    # (search_batch returns materialized pids/scores), and the tunneled
+    # link stalls unpredictably — one stalled rep under a mean once
+    # reported 18.4 QPS where a clean rerun gave 134.5 (SCALE.md). Same
+    # methodology as the encode-wire best-of-2 passes.
     pool = max(1, len(queries) - B)
     s.search_batch(queries[:B], k=k)  # warm/compile this bucket
-    t = time.time()
+    best = float("inf")
     for r in range(reps):
         off = (r * 37) % pool
+        t = time.time()
         s.search_batch(queries[off:off + B], k=k)
-    return reps * B / (time.time() - t)
+        best = min(best, time.time() - t)
+    return B / best
 
 
 # promoted into the package (used by the autotuner as well as the bench
