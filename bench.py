@@ -256,11 +256,10 @@ def host_backend_stage(encoder, tmp) -> None:
     s_host = Searcher(tmp + "/idx", encoder=encoder, backend="host")
     queries = synthetic_queries(64)
     B = 32
-    s_host.search_batch(queries[:B], k=10)  # warm compiles
-    t0 = time.time()
-    for r in range(2):
-        s_host.search_batch(queries[r * B:(r + 1) * B], k=10)
-    host_qps = 2 * B / (time.time() - t0)
+    # best-of-reps on BOTH sides (round-4 advisor: mixing a mean-of-2 host
+    # baseline with a best-of-3 device number biases the ratio upward — both
+    # paths ride the same variable tunnel for query encoding)
+    host_qps = _time_qps(s_host, queries, B, reps=2)
     s_dev = Searcher(tmp + "/idx", encoder=encoder, backend="device")
     dev_qps = _time_qps(s_dev, queries, B)
     log(f"host backend (reference-shaped staged pipeline): {host_qps:.2f} QPS "
@@ -351,12 +350,13 @@ def main() -> None:
         except Exception:
             pass
 
-        print(json.dumps({
+        headline = json.dumps({
             "metric": "index_build_passages_per_sec",
             "value": round(build_pps, 2),
             "unit": "passages/s",
             "vs_baseline": round(build_pps / BASELINE_BUILD_PASSAGES_PER_SEC, 2),
-        }), flush=True)
+        })
+        print(headline, flush=True)
 
         # secondary stages never break the headline (already printed):
         # failures log to stderr and the process still exits 0
@@ -374,6 +374,14 @@ def main() -> None:
 
                 log("secondary bench stage failed:")
                 traceback.print_exc(file=sys.stderr)
+
+        # re-emit the identical headline as the LAST stdout line: the driver
+        # tail-parses combined output, and round 4's five secondary stages
+        # scrolled the early print out of its window (BENCH_r04.json
+        # "parsed": null — VERDICT r4 weak #1). The early flushed print stays
+        # for timeout safety; this duplicate guarantees the tail always ends
+        # with the one JSON line.
+        print(headline, flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
