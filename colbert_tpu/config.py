@@ -148,6 +148,16 @@ class ColBERTConfig:
     # after the round-4 row-gather refine — keep refine for depth, or trade
     # it for +2 probes when only @10 matters.
     plaid_stage1_refine: bool = True
+    # width of the stage-1 refine window, as a multiple of the stage-2
+    # budget: the refine re-ranks min(refine_width_factor * ncandidates,
+    # search_max_candidates) candidates with the full centroid interaction.
+    # The refine is the largest single term of the quality-first serving
+    # budget at scale (its cost is ~linear in this factor: it gathers
+    # width * max_doclen centroid rows per query), so on corpora whose
+    # stage-1 bound already orders candidates well, 2 buys most of 4's
+    # recall at ~half the refine cost — a per-corpus dial the autotuner
+    # sweeps (evaluation.autotune).
+    refine_width_factor: int = 4
     # device-search capacity knobs (static shapes of the jitted search
     # program). None = auto-size from the index: cell_cap from the largest
     # IVF cell, max_candidates from the passage count — exact but memory-
@@ -177,6 +187,15 @@ class ColBERTConfig:
     # slots: faster, but a query token whose best cell was split may probe
     # ONLY that cell.
     probe_dup_compensation: bool = True
+    # split-cell mass fraction at which the probe-dup compensation saturates
+    # to the full worst case (dup_max - 1 extra probes); below it the extra
+    # probes scale linearly with the mass. Measured knees: 141k random-weight
+    # corpus at 131072 partitions (1.2% split mass, mostly 2-way splits) —
+    # recall flat across nprobe 2..5 while QPS falls 21%, so 1 extra probe
+    # suffices; every heavy-split geometry (>=12.5% mass: 141k formula
+    # default, 1M trained at cap=1024/2048) keeps its full compensation at
+    # the 0.05 default. See device_index.probe_compensation.
+    probe_comp_saturation: float = 0.05
 
     def __post_init__(self) -> None:
         if self.dim % 8 != 0:

@@ -103,14 +103,19 @@ def pack_bits(bits: jax.Array) -> jax.Array:
 
 
 def unpack_bits(packed: jax.Array, nbits: int) -> jax.Array:
-    """Inverse of :func:`pack_bits`: ``(n, nbytes)`` uint8 -> ``(n, dim, nbits)``.
+    """Inverse of :func:`pack_bits`: ``(n, nwords)`` -> ``(n, dim, nbits)``.
 
-    Reference: residual.jl ``_unpackbits``.
+    Reference: residual.jl ``_unpackbits``. Accepts the canonical uint8 byte
+    rows OR wider little-endian words (uint32 — the serving path stores the
+    flat device residual array as uint32 lanes so per-candidate offsets stay
+    in 32-bit range; word w's bit b is bitstring position ``wbits*w + b``,
+    exactly the LSB-first byte layout re-grouped 4 bytes at a time).
     """
-    n, nbytes = packed.shape
-    dim = nbytes * 8 // nbits
-    shifts = jnp.arange(8, dtype=jnp.uint8)
-    bits = (packed[..., None] >> shifts) & jnp.uint8(1)  # (n, nbytes, 8) LSB-first
+    n, nwords = packed.shape
+    wbits = 8 * packed.dtype.itemsize
+    dim = nwords * wbits // nbits
+    shifts = jnp.arange(wbits, dtype=jnp.uint32)
+    bits = (packed.astype(jnp.uint32)[..., None] >> shifts) & jnp.uint32(1)
     return bits.reshape(n, dim, nbits).astype(jnp.int32)
 
 

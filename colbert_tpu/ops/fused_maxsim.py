@@ -57,7 +57,7 @@ def pallas_stage2_supported(nbits: int, dim: int, backend: str | None = None) ->
 def _kernel(q_ref, cent_ref, packed_ref, dl_ref, weights_ref, out_ref,
             *, nbits: int, ldb: int, bc: int):
     # blocks (token-major): q (Lq, dim); cent (ldb, bc, dim) f32; packed
-    # (ldb, bc, nbytes) uint8; dl (1, NC_block=bc) int32 token counts;
+    # (ldb, bc, nwords) uint8 or uint32; dl (1, NC_block=bc) int32 counts;
     # weights (1, 2^nbits); out (Lq, bc) f32 accumulated over the Ld axis
     j = pl.program_id(1)
 
@@ -65,18 +65,30 @@ def _kernel(q_ref, cent_ref, packed_ref, dl_ref, weights_ref, out_ref,
     def _init():
         out_ref[:] = jnp.full_like(out_ref, NEG)
 
-    nbytes = packed_ref.shape[-1]
+    nwords = packed_ref.shape[-1]
     dim = cent_ref.shape[-1]
-    per_byte = 8 // nbits
+    # packed words are uint8 bytes or little-endian uint32 lanes (the flat
+    # device residual layout); a dim never straddles a word for nbits in
+    # {1,2,4}, and LE composition makes word w bit b == bitstring 8*4w+b,
+    # so the same shift-plane decode works at either width
+    wbits = 8 * packed_ref.dtype.itemsize
+    per_word = wbits // nbits
     mask_val = (1 << nbits) - 1
     rows = ldb * bc
 
-    packed = packed_ref[:].astype(jnp.int32).reshape(rows, nbytes)
+    if packed_ref.dtype == jnp.uint32:
+        # stay unsigned: an int32 cast would arithmetic-shift sign bits in
+        packed = packed_ref[:].reshape(rows, nwords)
+        planes = [
+            ((packed >> jnp.uint32(s * nbits)) & jnp.uint32(mask_val)).astype(jnp.int32)
+            for s in range(per_word)
+        ]
+    else:
+        packed = packed_ref[:].astype(jnp.int32).reshape(rows, nwords)
+        planes = [(packed >> (s * nbits)) & mask_val for s in range(per_word)]
     # dim-major bit-minor, LSB-first; shift planes concatenated along lanes
-    # => residual dim order perm[p] = (p % nbytes) * per_byte + p // nbytes
-    idx = jnp.concatenate(
-        [(packed >> (s * nbits)) & mask_val for s in range(per_byte)], axis=1
-    )  # (rows, dim)
+    # => residual dim order perm[p] = (p % nwords) * per_word + p // nwords
+    idx = jnp.concatenate(planes, axis=1)  # (rows, dim)
 
     # bucket decode: 2^nbits-way select (tiny unrolled chain on the VPU)
     res = jnp.zeros((rows, dim), jnp.float32)
@@ -109,7 +121,7 @@ def _kernel(q_ref, cent_ref, packed_ref, dl_ref, weights_ref, out_ref,
 def stage2_maxsim_pallas(
     Q: jax.Array,          # (Lq, dim) f32, Lq % 8 == 0 (pad with zero rows)
     cent_rows: jax.Array,  # (NC, Ld, dim) f32 — centroids[codes], XLA gather
-    packed: jax.Array,     # (NC, Ld, nbytes) uint8
+    packed: jax.Array,     # (NC, Ld, nwords) uint8 bytes or LE uint32 lanes
     valid: jax.Array,      # (NC, Ld) bool, prefix-contiguous per candidate
     bucket_weights: jax.Array,  # (2^nbits,) f32
     *,
@@ -121,14 +133,14 @@ def stage2_maxsim_pallas(
     """-> per-(query-token, candidate) maxima (Lq, NC) f32; candidates with
     zero valid tokens stay at NEG (callers mask and sum over Lq)."""
     Lq, dim = Q.shape
-    NC, Ld, nbytes = packed.shape
+    NC, Ld, nwords = packed.shape
     if Lq % 8 != 0:
         raise ValueError("Lq must be a multiple of 8 (pad Q with zero rows)")
     if NC % bc or Ld % ldb:
         raise ValueError(f"NC={NC} % bc={bc} or Ld={Ld} % ldb={ldb} != 0")
-    per_byte = 8 // nbits
+    per_word = 8 * packed.dtype.itemsize // nbits
     perm = np.arange(dim)
-    perm = ((perm % nbytes) * per_byte + perm // nbytes).astype(np.int32)
+    perm = ((perm % nwords) * per_word + perm // nwords).astype(np.int32)
     Qp = Q.astype(jnp.float32)[:, perm]
     # token-major layout: leading-dim merges lower in Mosaic, minor ones don't
     cent_t = cent_rows[..., perm].transpose(1, 0, 2)   # (Ld, NC, dim)
@@ -144,7 +156,7 @@ def stage2_maxsim_pallas(
             pl.BlockSpec((Lq, dim), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ldb, bc, dim), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ldb, bc, nbytes), lambda i, j: (j, i, 0),
+            pl.BlockSpec((ldb, bc, nwords), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bc), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1 << nbits), lambda i, j: (0, 0),

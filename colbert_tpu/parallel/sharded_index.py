@@ -59,7 +59,9 @@ class ShardedDeviceIndex:
     codes: jax.Array           # (D, Ns+max_doclen) sharded on axis 0 (zeroed
                                # tail rows keep stage-2's per-candidate
                                # dynamic_slice windows in bounds)
-    residuals: jax.Array       # (D, Ns+max_doclen, nbytes)
+    residuals: jax.Array       # (D, (Ns+max_doclen)*nwords) FLAT LE words
+                               # per shard (uint32 lanes when nbytes % 4 == 0
+                               # else uint8) — see DeviceIndex.residuals
     ivf: jax.Array             # (D, Ns+IVF_PAD) local PIDS grouped by cell
                                # (eids mapped at build, like DeviceIndex)
     ivf_offsets: jax.Array     # (D, k)
@@ -165,11 +167,16 @@ class ShardedDeviceIndex:
         # tail pads mirror DeviceIndex.build: max_doclen zeroed rows on
         # codes/residuals (stage-2 per-candidate dynamic_slice windows)
         # and IVF_PAD sentinel entries on the IVF (per-cell slice reads)
+        wdtype = np.uint32 if nbytes % 4 == 0 else np.uint8
+        nwords = nbytes // wdtype().itemsize
         big = {
             "codes": launch.ShardStackBuilder(
                 mesh, (Ns_max + max_doclen,), np.uint32),
+            # flat word-typed per shard (DeviceIndex.residuals layout):
+            # stage-2 reads each candidate's packed rows as ONE contiguous
+            # dynamic_slice burst
             "residuals": launch.ShardStackBuilder(
-                mesh, (Ns_max + max_doclen, nbytes), np.uint8),
+                mesh, ((Ns_max + max_doclen) * nwords,), wdtype),
             "ivf": launch.ShardStackBuilder(
                 mesh, (Ns_max + IVF_PAD,), np.int32),
             "doclens": launch.ShardStackBuilder(
@@ -230,7 +237,7 @@ class ShardedDeviceIndex:
             del codes_p, local_codes
             res_p = np.zeros((Ns_max + max_doclen, nbytes), np.uint8)
             res_p[:Ns] = local_res
-            big["residuals"].add(s, res_p)
+            big["residuals"].add(s, res_p.reshape(-1).view(wdtype))
             del res_p, local_res
             e2p = np.full(Ns_max + 1, sent_pid, np.int32)
             e2p[:Ns] = np.repeat(np.arange(Ps, dtype=np.int32), dl)
@@ -302,12 +309,12 @@ class ShardedDeviceIndex:
 
     # ------------------------------------------------------------------
 
-    def compensated_nprobe(self, nprobe: int) -> int:
+    def compensated_nprobe(self, nprobe: int, *, saturate: float = 0.05) -> int:
         """See :meth:`DeviceIndex.compensated_nprobe`."""
         from colbert_tpu.retrieval.device_index import probe_compensation
 
         return nprobe + probe_compensation(
-            self.probe_dup_max, self.probe_split_mass
+            self.probe_dup_max, self.probe_split_mass, saturate=saturate
         )
 
     def search_Q_batch(
@@ -315,6 +322,7 @@ class ShardedDeviceIndex:
         cell_cap: int = 1024, max_candidates: int = 8192,
         centroid_threshold: float | None = None,
         stage1_refine: bool = True,
+        refine_width: int = 4,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Queries (B, Lq, dim) -> (pids (B, k), scores (B, k)), exact merge
         of per-shard top-k results."""
@@ -322,7 +330,7 @@ class ShardedDeviceIndex:
             Q, k=k, nprobe=nprobe, ncandidates=ncandidates,
             cell_cap=cell_cap, max_candidates=max_candidates,
             centroid_threshold=centroid_threshold,
-            stage1_refine=stage1_refine,
+            stage1_refine=stage1_refine, refine_width=refine_width,
         ))
 
     def search_Q_batch_async(
@@ -330,6 +338,7 @@ class ShardedDeviceIndex:
         cell_cap: int = 1024, max_candidates: int = 8192,
         centroid_threshold: float | None = None,
         stage1_refine: bool = True,
+        refine_width: int = 4,
     ) -> PendingShardSearch:
         """Dispatch the sharded search WITHOUT blocking -> handle for
         :meth:`finalize`. JAX dispatch is asynchronous, so serving can keep
@@ -347,6 +356,7 @@ class ShardedDeviceIndex:
             max_doclen=self.max_doclen, k=k_local, nprobe=nprobe,
             ncandidates=ncand, cell_cap=cell_cap, max_candidates=max_candidates,
             centroid_threshold=centroid_threshold, stage1_refine=stage1_refine,
+            refine_width=refine_width,
         )
         from colbert_tpu.parallel import launch
 

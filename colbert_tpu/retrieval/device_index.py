@@ -155,7 +155,9 @@ def _stream_chunks_to_device(index_path: str, N: int, nbytes: int,
     packed index in host RAM (buffers are preallocated with ``pad_rows``
     zeroed tail rows at N — the stage-2 per-candidate ``dynamic_slice``
     reads a fixed ``max_doclen`` window from each passage's offset, so the
-    last passage's window must stay in bounds).
+    last passage's window must stay in bounds). The residual buffer is
+    FLAT 1-D word-typed ((N+pad_rows)*nwords): see
+    :class:`DeviceIndex.residuals`.
 
     Uploads are PIPELINED: ``prefetch`` worker threads stage chunks (disk
     page-in + contiguous copy) and issue their ``device_put`` concurrently,
@@ -171,8 +173,10 @@ def _stream_chunks_to_device(index_path: str, N: int, nbytes: int,
 
     from colbert_tpu.storage import format as fmt
 
+    wdtype = np.uint32 if nbytes % 4 == 0 else np.uint8
+    nwords = nbytes // wdtype().itemsize
     codes_buf = jnp.zeros((N + pad_rows,), jnp.uint32)
-    res_buf = jnp.zeros((N + pad_rows, nbytes), jnp.uint8)
+    res_buf = jnp.zeros(((N + pad_rows) * nwords,), wdtype)
     nch = fmt.num_chunks(index_path)
 
     def drop_pages(arr) -> None:
@@ -197,7 +201,12 @@ def _stream_chunks_to_device(index_path: str, N: int, nbytes: int,
         # itself): the async transfer must never touch the mmap after the
         # pages are dropped below
         c_host = np.array(ch["codes"], dtype=np.uint32, copy=True)
-        r_host = np.array(ch["residuals"], dtype=np.uint8, copy=True)
+        # ship residual rows pre-flattened as little-endian words (a
+        # C-contiguous reshape + view, no copy): the device buffer is 1-D
+        r_host = (
+            np.array(ch["residuals"], dtype=np.uint8, copy=True)
+            .reshape(-1).view(wdtype)
+        )
         c = jax.device_put(c_host)
         r = jax.device_put(r_host)
         drop_pages(ch["codes"])
@@ -216,7 +225,8 @@ def _stream_chunks_to_device(index_path: str, N: int, nbytes: int,
         while window:
             c, r = window.popleft().result()
             codes_buf = _write_rows(codes_buf, c, jnp.int32(off))
-            res_buf = _write_rows(res_buf, r, jnp.int32(off))
+            # uint32: word offsets can pass int32 range near HBM capacity
+            res_buf = _write_rows(res_buf, r, jnp.uint32(off * nwords))
             off += c.shape[0]
             n_done += 1
             if n_done % drain_every == 0:
@@ -248,7 +258,17 @@ class DeviceIndex:
                               # every passage's fixed-width dynamic_slice
                               # window in bounds (stage-2 reads are contiguous
                               # per-candidate slices, not element gathers)
-    residuals: jax.Array      # (N+max_doclen, nbytes) uint8
+    residuals: jax.Array      # ((N+max_doclen)*nwords,) FLAT little-endian
+                              # words: uint32 lanes when nbytes % 4 == 0
+                              # (nwords = nbytes/4), else uint8 bytes. 1-D so
+                              # stage-2 reads each candidate's packed rows as
+                              # ONE contiguous dynamic_slice (a 2-D u8 slice
+                              # makes XLA re-tile the whole operand — OOM at
+                              # 1M; element-row gathers cost ~10.5M gathered
+                              # rows per B=64 batch, the round-4 stage-2
+                              # budget's dominant term). uint32 lanes keep
+                              # per-candidate word offsets (eid*nwords)
+                              # inside uint32 range past HBM capacity.
     ivf: jax.Array            # (N+IVF_PAD,) int32 PIDS grouped by centroid — the
                               # on-disk IVF stores eids; the device copy maps
                               # them to pids at build time so stage-1 does ONE
@@ -354,20 +374,24 @@ class DeviceIndex:
         else:
             probe_centroids = centroids
 
+        wdtype = np.uint32 if nbytes % 4 == 0 else np.uint8
         if stream_from is not None:
             codes_dev, res_dev = _stream_chunks_to_device(
                 stream_from, N, nbytes, pad_rows=max_doclen
             )
         elif len(codes) == N + max_doclen:  # pre-padded by the loader (zeroed)
             codes_dev = jnp.asarray(np.ascontiguousarray(codes, dtype=np.uint32))
-            res_dev = jnp.asarray(np.ascontiguousarray(residuals, dtype=np.uint8))
+            res_dev = jnp.asarray(
+                np.ascontiguousarray(residuals, dtype=np.uint8)
+                .reshape(-1).view(wdtype)
+            )
         else:
             codes_p = np.zeros(N + max_doclen, np.uint32)
             codes_p[:N] = codes[:N]
             res_p = np.zeros((N + max_doclen, nbytes), np.uint8)
             res_p[:N] = residuals[:N]
             codes_dev = jnp.asarray(codes_p)
-            res_dev = jnp.asarray(res_p)
+            res_dev = jnp.asarray(res_p.reshape(-1).view(wdtype))
 
         # emb2pid with the sentinel entry filled in place (no concat copy —
         # at MS MARCO scale these transients are GBs of peak RSS)
@@ -411,11 +435,49 @@ class DeviceIndex:
 
     # ------------------------------------------------------------------
 
-    def compensated_nprobe(self, nprobe: int) -> int:
+    def rebalance(self, ivf_lengths: np.ndarray, balance_cap: int | None) -> None:
+        """Recompute the probe-side balanced-IVF tables for a new
+        ``balance_cap`` IN PLACE, reusing the HBM-resident
+        codes/residuals/IVF entries untouched. The cap only chooses which
+        contiguous IVF segments probing covers (sub-cell offsets derive
+        from origin offsets — see :meth:`build`), so this is what makes
+        ``ivf_balance_cap`` an in-process tunable: the autotuner
+        (:mod:`colbert_tpu.evaluation.autotune`) sweeps caps against the
+        oracle without re-uploading a byte of the index. SCALE.md's round-4
+        1M-trained measurement is why it matters: cap=2048 moved
+        score-recall@10 0.906 -> 0.956 at ~18% QPS, the dominant
+        corpus-dependent quality lever.
+
+        ``ivf_lengths`` are the ORIGINAL (on-disk) per-cell lengths the
+        index was built from — ``self.ivf_lengths`` holds the SPLIT ones.
+        """
+        ivf_lengths = np.asarray(ivf_lengths, np.int64)
+        orig_offsets = np.concatenate([[0], np.cumsum(ivf_lengths)])[:-1]
+        if balance_cap is not None and len(ivf_lengths) and (
+            int(ivf_lengths.max()) > balance_cap
+        ):
+            self.probe_split_mass = split_mass_fraction(ivf_lengths, balance_cap)
+            sub_lengths, sub_offsets, split_origin, self.probe_dup_max = (
+                balance_cells(ivf_lengths, orig_offsets, balance_cap)
+            )
+            self.probe_centroids = jnp.asarray(
+                np.asarray(self.centroids)[split_origin]
+            )
+            self.ivf_lengths = jnp.asarray(sub_lengths, jnp.int32)
+            self.ivf_offsets = jnp.asarray(sub_offsets.astype(np.int32))
+        else:
+            self.probe_centroids = self.centroids
+            self.ivf_lengths = jnp.asarray(ivf_lengths, jnp.int32)
+            self.ivf_offsets = jnp.asarray(orig_offsets.astype(np.int32))
+            self.probe_dup_max = 1
+            self.probe_split_mass = 0.0
+
+    def compensated_nprobe(self, nprobe: int, *, saturate: float = 0.05) -> int:
         """``nprobe`` plus the probe-dup compensation this index's balanced
-        IVF warrants (see :func:`probe_compensation`)."""
+        IVF warrants (see :func:`probe_compensation`); ``saturate`` is
+        ``config.probe_comp_saturation``."""
         return nprobe + probe_compensation(
-            self.probe_dup_max, self.probe_split_mass
+            self.probe_dup_max, self.probe_split_mass, saturate=saturate
         )
 
     def _clamp(self, Lq: int, nprobe: int, cell_cap: int,
@@ -430,13 +492,14 @@ class DeviceIndex:
         centroid_threshold: float | None = None,
         use_pallas: bool = False,
         stage1_refine: bool = True,
+        refine_width: int = 4,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """One pre-encoded query (Q: (Lq, dim)) -> (pids (k,), scores (k,))."""
         pids, scores = self.search_Q_batch(
             Q[None], k=k, nprobe=nprobe, ncandidates=ncandidates,
             cell_cap=cell_cap, max_candidates=max_candidates,
             centroid_threshold=centroid_threshold, use_pallas=use_pallas,
-            stage1_refine=stage1_refine,
+            stage1_refine=stage1_refine, refine_width=refine_width,
         )
         return pids[0], scores[0]
 
@@ -446,6 +509,7 @@ class DeviceIndex:
         centroid_threshold: float | None = None,
         use_pallas: bool = False,
         stage1_refine: bool = True,
+        refine_width: int = 4,
         force_float_sort: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Pre-encoded queries (B, Lq, dim) -> (pids (B, k), scores (B, k))."""
@@ -463,7 +527,8 @@ class DeviceIndex:
             k=k_eff, nprobe=nprobe, ncandidates=ncand,
             cell_cap=cell_cap, max_candidates=mc,
             centroid_threshold=centroid_threshold, use_pallas=use_pallas,
-            stage1_refine=stage1_refine, force_float_sort=force_float_sort,
+            stage1_refine=stage1_refine, refine_width=refine_width,
+            force_float_sort=force_float_sort,
         )
         return self._postprocess(
             np.asarray(pids), np.asarray(scores), np.asarray(overflow), k
@@ -476,6 +541,7 @@ class DeviceIndex:
         centroid_threshold: float | None = None,
         use_pallas: bool = False,
         stage1_refine: bool = True,
+        refine_width: int = 4,
         dtype_name: str = "bfloat16",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Fully fused serving path: query token ids -> (pids, scores) in ONE
@@ -485,7 +551,8 @@ class DeviceIndex:
             k=k, nprobe=nprobe, ncandidates=ncandidates, cell_cap=cell_cap,
             max_candidates=max_candidates,
             centroid_threshold=centroid_threshold, use_pallas=use_pallas,
-            stage1_refine=stage1_refine, dtype_name=dtype_name,
+            stage1_refine=stage1_refine, refine_width=refine_width,
+            dtype_name=dtype_name,
         ))
 
     def search_tokens_batch_async(
@@ -495,6 +562,7 @@ class DeviceIndex:
         centroid_threshold: float | None = None,
         use_pallas: bool = False,
         stage1_refine: bool = True,
+        refine_width: int = 4,
         dtype_name: str = "bfloat16",
     ) -> "PendingSearch":
         """Launch the fused search program WITHOUT blocking on its results.
@@ -519,7 +587,7 @@ class DeviceIndex:
             k=k_eff, nprobe=nprobe, ncandidates=ncand,
             cell_cap=cell_cap, max_candidates=mc,
             centroid_threshold=centroid_threshold, use_pallas=use_pallas,
-            stage1_refine=stage1_refine,
+            stage1_refine=stage1_refine, refine_width=refine_width,
         )
         return PendingSearch(pids=pids, scores=scores, overflow=overflow, k=k)
 
@@ -591,6 +659,7 @@ def _search_core(
     centroid_threshold: float | None = None,
     use_pallas: bool = False,
     stage1_refine: bool = True,
+    refine_width: int = 4,  # refine window = refine_width * ncandidates
     force_float_sort: bool = False,  # testing hook for the >2^26-pid path
     probe_ncells=None,  # traced scalar: valid probe-table rows (sharded pads)
 ):
@@ -696,10 +765,10 @@ def _search_core(
     first = first_p & real
     n_unique = jnp.sum(first)
     # overflow counts candidates beyond the width ACTUALLY selected out of
-    # stage-1 (the refine's 4x window, or ncandidates) — not max_candidates,
-    # which nothing truncates at
+    # stage-1 (the refine's widened window, or ncandidates) — not
+    # max_candidates, which nothing truncates at
     if stage1_refine and ncandidates < max_candidates:
-        sel_width = min(4 * ncandidates, max_candidates)
+        sel_width = min(refine_width * ncandidates, max_candidates)
     else:
         sel_width = ncandidates
     overflow = jnp.maximum(0, n_unique - sel_width)
@@ -741,11 +810,12 @@ def _search_core(
 
     if stage1_refine and ncandidates < max_candidates:
         # hybrid funnel: the probed bound cannot separate near-duplicate
-        # candidates (same cells -> tied scores), so take a (up to) 4x-wide
-        # cut by the cheap bound, then rank those by the FULL centroid
-        # interaction (token-code reads — expensive, but over <=4*NC rows
-        # instead of all candidates) before the stage-2 budget.
-        width = min(4 * ncandidates, max_candidates)
+        # candidates (same cells -> tied scores), so take a (up to)
+        # refine_width-x cut by the cheap bound, then rank those by the FULL
+        # centroid interaction (token-code reads — expensive, and ~linear in
+        # this width: the refine gathers width * max_doclen centroid rows)
+        # before the stage-2 budget. config.refine_width_factor is the dial.
+        width = min(refine_width * ncandidates, max_candidates)
         w_vals, w_idx = jax.lax.top_k(stage1, width)
         w_pids = jnp.where(w_vals > NEG / 2, p2[w_idx], sentinel_pid)
         w_off, w_dl = tok_meta(w_pids)
@@ -843,8 +913,13 @@ def _stage2_scores(
 ):
     """Fused decompress+MaxSim, chunked over candidates so the fp32
     embeddings of only ``chunk`` passages are ever live. Candidate token
-    codes/residuals are read as contiguous per-candidate slices
-    (:func:`_slice_rows`).
+    codes AND residuals are read as contiguous per-candidate slices
+    (:func:`_slice_rows`): ``residuals`` is the FLAT word-typed device
+    array (see :class:`DeviceIndex.residuals`), so each candidate's packed
+    rows are one ``Ld*nwords``-wide contiguous burst from ``off*nwords``
+    instead of ``Ld`` element-row gathers — TPU gathers are row-count-bound
+    (~10.5M gathered residual rows per B=64 batch at the 1M geometry were
+    the stage-2 budget's dominant term).
 
     ``use_pallas`` routes each chunk through the pallas kernel
     (:mod:`colbert_tpu.ops.fused_maxsim`): bit-unpack + bucket decode +
@@ -858,11 +933,19 @@ def _stage2_scores(
     NC = offs.shape[0]
     Lq, dim = Q.shape
     Ld = max_doclen
+    # residuals is flat word-typed; offsets ride uint32 so eid*nwords stays
+    # in range past what one chip's HBM can hold (int32 would overflow at
+    # ~260M tokens x 8 words)
+    nwords = dim // 8 * nbits // residuals.dtype.itemsize
     nchunks = max(1, -(-NC // chunk))
     padded = nchunks * chunk
     off_p = jnp.pad(offs, (0, padded - NC)).reshape(nchunks, chunk)
     dl_p = jnp.pad(dls, (0, padded - NC)).reshape(nchunks, chunk)
     arl = jnp.arange(Ld, dtype=jnp.int32)
+
+    def res_words(off):
+        roff = off.astype(jnp.uint32) * jnp.uint32(nwords)
+        return _slice_rows(residuals, roff, Ld * nwords)  # (chunk, Ld*nwords)
 
     if use_pallas:
         from colbert_tpu.ops.fused_maxsim import stage2_maxsim_pallas
@@ -874,11 +957,7 @@ def _stage2_scores(
         def one_pl(args):
             off, dl = args
             cd = _slice_rows(codes, off, Ld)              # (chunk, Ld)
-            # residual ROWS via gather (unclamped indices stay in bounds
-            # thanks to the max_doclen tail pad; out-of-doc rows are masked
-            # after scoring) — see _slice_rows for why not a 2-D slice
-            ti = off[:, None] + arl[None, :]
-            pk = residuals[ti.reshape(-1)].reshape(chunk, Ld, -1)
+            pk = res_words(off).reshape(chunk, Ld, nwords)
             v = arl[None, :] < dl[:, None]
             cent_rows = centroids[
                 cd.reshape(chunk * Ld).astype(jnp.int32)
@@ -896,8 +975,7 @@ def _stage2_scores(
     def one(args):
         off, dl = args
         cd = _slice_rows(codes, off, Ld)                  # (chunk, Ld)
-        ti = off[:, None] + arl[None, :]                  # in bounds (tail pad)
-        rs = residuals[ti.reshape(-1)]                    # (chunk*Ld, nbytes)
+        rs = res_words(off).reshape(chunk * Ld, nwords)
         v = arl[None, :] < dl[:, None]
         embs = codec_ops.decompress(
             cd.reshape(-1), rs, centroids,
@@ -916,7 +994,7 @@ def _stage2_scores(
 _STATIC = (
     "sentinel_pid", "nbits", "max_doclen", "k", "nprobe", "ncandidates",
     "cell_cap", "max_candidates", "centroid_threshold", "use_pallas",
-    "stage1_refine", "force_float_sort",
+    "stage1_refine", "refine_width", "force_float_sort",
 )
 
 

@@ -228,6 +228,27 @@ class Searcher:
         encoder (and its compiled programs) are shared."""
         return Searcher(self.index_path, encoder=self.encoder, backend=self.backend)
 
+    def set_balance_cap(self, cap: int | None) -> None:
+        """Re-balance the probe-side IVF for a new ``ivf_balance_cap``
+        WITHOUT reloading the index (device backend only; the balanced
+        split affects only the probe tables —
+        :meth:`~colbert_tpu.retrieval.device_index.DeviceIndex.rebalance`).
+        ``cap`` follows ``config.ivf_balance_cap`` semantics: ``None`` =
+        the 1024 default, ``<= 0`` = no splitting, ``> 0`` = the cap.
+        Updates the config and re-sizes the auto capacities (``cell_cap``
+        follows the probe-side cell lengths), so the next search compiles
+        the new geometry (~seconds with the persistent cache). The
+        autotuner sweeps this to pick the per-corpus cap automatically."""
+        if self.backend != "device":
+            raise NotImplementedError(
+                "set_balance_cap: device backend only (rebuild the "
+                "Searcher for sharded/host)"
+            )
+        self.config.ivf_balance_cap = cap
+        balance_cap = 1024 if cap is None else (cap if cap > 0 else None)
+        self.device_index.rebalance(self.ivf_lengths, balance_cap)
+        self._init_capacities()
+
     def search(self, query: str, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         """-> (pids (k,), scores (k,)) for one query (reference searching.jl:93-128)."""
         pids, scores = self.search_batch([query], k)
@@ -255,12 +276,15 @@ class Searcher:
         ncand, threshold = self._stage_params(k)
         nprobe = cfg.nprobe
         if cfg.probe_dup_compensation:
-            nprobe = probe_index.compensated_nprobe(nprobe)
+            nprobe = probe_index.compensated_nprobe(
+                nprobe, saturate=cfg.probe_comp_saturation
+            )
         return dict(
             k=k, nprobe=nprobe, ncandidates=ncand,
             cell_cap=self.cell_cap, max_candidates=self.max_candidates,
             centroid_threshold=threshold,
             stage1_refine=cfg.plaid_stage1_refine,
+            refine_width=cfg.refine_width_factor,
         )
 
     def launch_search(self, queries: Sequence[str], k: int = 10) -> list:

@@ -59,6 +59,21 @@ def test_packbits_lsb_first_layout():
 
 
 @pytest.mark.parametrize("nbits", [1, 2, 4])
+def test_unpack_bits_uint32_lanes_match_bytes(rng, nbits):
+    # the flat device residual layout views packed byte rows as little-endian
+    # uint32 lanes; unpack_bits must decode identically from either width
+    dim = 32
+    idx = rng.integers(0, 1 << nbits, size=(40, dim))
+    packed = codec.pack_bits(codec.binarize(jnp.asarray(idx, np.int32), nbits))
+    p8 = np.asarray(packed)
+    p32 = jnp.asarray(np.ascontiguousarray(p8).view(np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(codec.unpack_bits(packed, nbits)),
+        np.asarray(codec.unpack_bits(p32, nbits)),
+    )
+
+
+@pytest.mark.parametrize("nbits", [1, 2, 4])
 def test_decompress_residuals_inverts_binarize(rng, nbits):
     # reference residual.jl test :975 — with bucket_weights placed at bucket
     # ids, decompress_residuals recovers the bucket id of each residual.

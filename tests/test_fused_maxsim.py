@@ -41,6 +41,17 @@ def test_kernel_matches_decompress_maxsim(rng, nbits):
     ))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
+    # uint32-lane packed input (the flat device residual layout): identical
+    # results when the words are little-endian views of the same byte rows
+    packed32 = jnp.asarray(
+        np.ascontiguousarray(packed).reshape(NC, Ld, -1).view(np.uint32)
+    )
+    got32 = np.asarray(stage2_maxsim_pallas(
+        Qd, centd[codesd], packed32, validd, bwd, nbits=nbits,
+        bc=128, ldb=8, interpret=True,
+    ))
+    np.testing.assert_allclose(got32, want, rtol=1e-4, atol=1e-4)
+
 
 def test_supported_gate():
     assert not pallas_stage2_supported(8, 128, backend="tpu")   # nbits=8: no
