@@ -35,15 +35,29 @@ def main() -> None:
                     help="target score-recall@k")
     ap.add_argument("--sample", type=int, default=32,
                     help="queries sampled for the oracle sweep")
+    ap.add_argument("--balance-caps", default=None,
+                    help="comma-separated ivf_balance_cap values to sweep "
+                         "in-process (e.g. '1024,2048,4096'; 0 = no "
+                         "splitting) — the build-side quality lever")
+    ap.add_argument("--depth-k", type=int, default=None,
+                    help="also require score-recall at this depth (e.g. 100)")
+    ap.add_argument("--target-depth", type=float, default=None,
+                    help="score-recall target at --depth-k (defaults to "
+                         "--target)")
     ap.add_argument("--apply-to", choices=["config"], default=None,
                     help="'config': persist the chosen knobs to config.json")
     args = ap.parse_args()
 
+    caps = None
+    if args.balance_caps:
+        caps = tuple(int(c) for c in args.balance_caps.split(","))
     _, queries = load_queries_tsv(args.queries_tsv)
     queries = queries[: args.sample]
     searcher = Searcher(args.index_dir)
     result = tune_operating_point(
-        searcher, queries, k=args.k, target_score_recall=args.target
+        searcher, queries, k=args.k, target_score_recall=args.target,
+        balance_caps=caps, depth_k=args.depth_k,
+        target_depth_recall=args.target_depth,
     )
     print(result)
     if args.apply_to == "config":

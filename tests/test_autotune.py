@@ -110,6 +110,126 @@ def test_apply_sets_config_and_search_follows(tuned_setup):
         (cfg.plaid_stage2_docs, cfg.plaid_stage1_refine, cfg.nprobe) = before
 
 
+def test_set_balance_cap_matches_fresh_build(tuned_setup):
+    """In-process rebalance == building a fresh Searcher at that cap, and
+    the HBM payload (codes/residuals/IVF entries) is reused untouched."""
+    import os
+
+    searcher, queries = tuned_setup
+    orig_cap = searcher.config.ivf_balance_cap
+    codes_before = searcher.device_index.codes
+    res_before = searcher.device_index.residuals
+    ivf_before = searcher.device_index.ivf
+    try:
+        searcher.set_balance_cap(4)
+        assert searcher.config.ivf_balance_cap == 4
+        assert searcher.device_index.codes is codes_before
+        assert searcher.device_index.residuals is res_before
+        assert searcher.device_index.ivf is ivf_before
+        p1, s1 = searcher.search_batch(queries, k=4)
+        cfg2 = ColBERTConfig.load(
+            os.path.join(searcher.index_path, "config.json")
+        )
+        cfg2.ivf_balance_cap = 4
+        fresh = Searcher(searcher.index_path, encoder=searcher.encoder,
+                         config=cfg2)
+        assert (searcher.device_index.probe_centroids.shape
+                == fresh.device_index.probe_centroids.shape)
+        assert (searcher.device_index.probe_dup_max
+                == fresh.device_index.probe_dup_max)
+        p2, s2 = fresh.search_batch(queries, k=4)
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-5)
+        # cap<=0 = no splitting (config semantics)
+        searcher.set_balance_cap(0)
+        assert searcher.device_index.probe_dup_max == 1
+        assert (searcher.device_index.probe_centroids.shape
+                == searcher.device_index.centroids.shape)
+    finally:
+        searcher.set_balance_cap(orig_cap)
+
+
+def test_tune_sweeps_balance_caps_and_restores(tuned_setup):
+    searcher, queries = tuned_setup
+    orig_cap = searcher.config.ivf_balance_cap
+    orig_probe_shape = searcher.device_index.probe_centroids.shape
+    res = tune_operating_point(
+        searcher, queries, k=4, target_score_recall=0.9,
+        grid=GRID, time_reps=0, balance_caps=(0, 4),
+    )
+    # grid runs once per cap; the live searcher is restored afterwards
+    assert len(res.table) == 2 * len(GRID)
+    assert {t.balance_cap for t in res.table} == {0, 4}
+    assert all(t.swept_cap for t in res.table)
+    assert searcher.config.ivf_balance_cap == orig_cap
+    assert searcher.device_index.probe_centroids.shape == orig_probe_shape
+    # apply() re-balances to the chosen cap
+    cfg = searcher.config
+    before = (cfg.plaid_stage2_docs, cfg.plaid_stage1_refine, cfg.nprobe,
+              cfg.refine_width_factor)
+    try:
+        res.apply(searcher)
+        assert cfg.ivf_balance_cap == res.chosen.balance_cap
+        pids, _ = searcher.search_batch(queries, k=4)
+        assert (pids[:, 0] == np.arange(len(queries))).mean() == 1.0
+    finally:
+        (cfg.plaid_stage2_docs, cfg.plaid_stage1_refine, cfg.nprobe,
+         cfg.refine_width_factor) = before
+        searcher.set_balance_cap(orig_cap)
+
+
+def test_tune_depth_target(tuned_setup):
+    searcher, queries = tuned_setup
+    res = tune_operating_point(
+        searcher, queries, k=4, target_score_recall=0.9,
+        grid=GRID, time_reps=0, depth_k=8, target_depth_recall=0.9,
+    )
+    assert res.depth_k == 8
+    for t in res.table:
+        assert t.depth_score_recall is not None
+        assert 0.0 <= t.depth_score_recall <= 1.0
+    if res.met_target:
+        assert res.chosen.score_recall >= 0.9
+        assert res.chosen.depth_score_recall >= 0.9
+    assert "@depth" in str(res)
+
+
+def test_tune_raw_path_with_Q_matches_production(tuned_setup):
+    """Pre-encoded Q sweeps the raw search_Q_batch path; the recall table
+    must agree with the production-path sweep (same knobs, same funnel)."""
+    import jax.numpy as jnp
+
+    searcher, queries = tuned_setup
+    res_prod = tune_operating_point(
+        searcher, queries, k=4, target_score_recall=0.9,
+        grid=GRID, time_reps=0,
+    )
+    Q = jnp.asarray(searcher.encoder.encode_queries(queries))
+    res_raw = tune_operating_point(
+        searcher, Q=Q, k=4, target_score_recall=0.9,
+        grid=GRID, time_reps=0,
+    )
+    for tp, tr in zip(res_prod.table, res_raw.table):
+        assert tp.score_recall == tr.score_recall
+        assert tp.set_recall == tr.set_recall
+
+
+def test_refine_width_point_in_grid(tuned_setup):
+    searcher, queries = tuned_setup
+    grid = (
+        OperatingPoint(0, 8, stage1_refine=True, refine_width=2),
+        OperatingPoint(0, 8, stage1_refine=True, refine_width=4),
+    )
+    res = tune_operating_point(
+        searcher, queries, k=4, target_score_recall=0.0,
+        grid=grid, time_reps=0,
+    )
+    # narrower refine window costs less in the analytic model
+    assert res.table[0].cost < res.table[1].cost
+    assert "rw=2" in res.table[0].point.label()
+    assert "rw=" not in res.table[1].point.label()
+
+
 def test_cost_model_orders_points_sanely():
     kw = dict(nprobe=4, lq=16, cell_cap=64, max_doclen=32, max_candidates=4096)
     cheap = OperatingPoint(0, 128, stage1_refine=False).cost(**kw)
