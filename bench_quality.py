@@ -109,10 +109,19 @@ def train_encoder(encoder, passages, *, steps: int, batch_size: int = 32,
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 141_431
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 300
-    partitions = int(sys.argv[3]) if len(sys.argv) > 3 else None
-    balance_cap = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    # trailing non-numeric args are flags: "tune" runs the autotuner drill
+    # (balance-cap sweep + depth target), "probesweep" calibrates the
+    # probe-dup compensation knee at this geometry
+    flags = {a for a in sys.argv[1:] if not a.lstrip("-").isdigit()}
+    nums = [a for a in sys.argv[1:] if a.lstrip("-").isdigit()]
+    n = int(nums[0]) if len(nums) > 0 else 141_431
+    steps = int(nums[1]) if len(nums) > 1 else 300
+    partitions = int(nums[2]) if len(nums) > 2 else None
+    balance_cap = int(nums[3]) if len(nums) > 3 else None
+    if partitions == 0:
+        partitions = None
+    if balance_cap == 0:
+        balance_cap = None
     import jax.numpy as jnp
 
     from colbert_tpu.indexing.builder import Indexer
@@ -180,6 +189,11 @@ def main() -> None:
                 or max(16 * 100, 1024),
                 centroid_threshold=cfg.centroid_score_threshold,
                 stage1_refine=False),
+            "quality-first rw=2 (half refine window)": dict(
+                nprobe=nprobe_c,
+                ncandidates=cfg.plaid_stage2_docs or max(16 * 100, 1024),
+                centroid_threshold=cfg.centroid_score_threshold,
+                stage1_refine=True, refine_width=2),
             "tight (ncand=128)": dict(
                 nprobe=nprobe_c, ncandidates=128,
                 centroid_threshold=cfg.centroid_score_threshold,
@@ -215,6 +229,11 @@ def main() -> None:
         # the refine-vs-probes tradeoff point: recall@10 matches
         # quality-first (see the recall table above) without the refine's
         # token-code reads — if faster, it is the better quality point
+        s.config.refine_width_factor = 2
+        qps_rw2 = _time_qps(s, qs, 64)
+        log(f"batched search on trained index (B=64, quality-first rw=2): "
+            f"{qps_rw2:.1f} QPS/chip")
+        s.config.refine_width_factor = 4
         s.config.plaid_stage1_refine = False
         s.config.nprobe = cfg.nprobe + 2
         qps_probes = _time_qps(s, qs, 64)
@@ -230,6 +249,62 @@ def main() -> None:
         s.config.probe_dup_compensation = True
         s.config.plaid_stage2_docs = None
 
+        if "probesweep" in flags:
+            # probe_comp_saturation calibration at THIS geometry: recall and
+            # QPS at 0..dup_max-1 extra probes (the knee is where recall
+            # stops moving; see config.probe_comp_saturation)
+            dup = s.device_index.probe_dup_max
+            mass = s.device_index.probe_split_mass
+            for extra in range(0, dup):
+                p = dict(nprobe=cfg.nprobe + extra,
+                         ncandidates=cfg.plaid_stage2_docs
+                         or max(16 * 100, 1024),
+                         centroid_threshold=cfg.centroid_score_threshold,
+                         stage1_refine=True)
+                pids_b, _ = s.device_index.search_Q_batch(Qe, **p, **kw)
+                pids_np = np.asarray(pids_b)
+                s.config.probe_dup_compensation = False
+                s.config.nprobe = cfg.nprobe + extra
+                qps_e = _time_qps(s, qs, 64)
+                s.config.nprobe = cfg.nprobe
+                s.config.probe_dup_compensation = True
+                log(f"probe-comp sweep [dup_max={dup} split_mass={mass:.3f}] "
+                    f"extra={extra}: set@10 {_recall(pids_np, oracle, 10):.3f} "
+                    f"score@10 {_score_recall(pids_np, oscores, 10):.3f} "
+                    f"@100 {_recall(pids_np, oracle, 100):.3f} "
+                    f"{qps_e:.1f} QPS")
+
+        tune_report = None
+        if "tune" in flags:
+            # the one-command drill: does the autotuner pick a >=0.95
+            # score@10 point (with a depth floor) at this scale on its own?
+            from colbert_tpu.evaluation.autotune import tune_operating_point
+
+            t0 = time.time()
+            res = tune_operating_point(
+                s, queries, k=10, target_score_recall=0.95,
+                balance_caps=(1024, 2048, 4096),
+                depth_k=100, target_depth_recall=0.90, time_reps=2,
+            )
+            log(f"autotune (balance_caps x grid, depth@100) took "
+                f"{time.time() - t0:.1f}s")
+            log(str(res))
+            res.apply(s)
+            qps_tuned_auto = _time_qps(s, qs, 64)
+            log(f"autotuned point [{res.chosen.point.label()}, cap="
+                f"{res.chosen.balance_cap}]: {qps_tuned_auto:.1f} QPS/chip, "
+                f"score@10 {res.chosen.score_recall:.3f}, "
+                f"score@100 {res.chosen.depth_score_recall:.3f}, "
+                f"met_target={res.met_target}")
+            tune_report = {
+                "chosen": res.chosen.point.label(),
+                "balance_cap": res.chosen.balance_cap,
+                "met_target": res.met_target,
+                "score_recall_10": round(res.chosen.score_recall, 3),
+                "score_recall_100": round(res.chosen.depth_score_recall, 3),
+                "qps_b64": round(qps_tuned_auto, 1),
+            }
+
         qf = recalls["quality-first"]
         print(json.dumps({
             "metric": "trained_funnel_recall_at_10",
@@ -241,8 +316,10 @@ def main() -> None:
             "oracle_margin_top1_top10": round(margin_1_10, 3),
             "self_retrieval_s1": s1,
             "qps_b64_quality": round(qps_quality, 1),
+            "qps_b64_quality_rw2": round(qps_rw2, 1),
             "qps_b64_probes_no_refine": round(qps_probes, 1),
             "qps_b64_tuned": round(qps_tuned, 1),
+            "tune": tune_report,
             "train": train_stats,
             "build_seconds": round(build_s, 1),
         }))
