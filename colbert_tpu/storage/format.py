@@ -14,6 +14,16 @@ transfer buffers) instead of JLD2. Chunk ids are 0-based (Julia's are
 1-based). Per-chunk artifacts are self-contained, so builds can resume at
 chunk granularity (the reference format supports this but never exploits it
 — SURVEY §5).
+
+On TensorStore (the north-star sharded format, BASELINE.md): the
+capability it names — sharded storage with per-shard row-range streaming,
+where a multi-host pod never pages in another host's shard — is delivered
+here by the chunked ``.npy``+JSON layout via :func:`read_embedding_rows`
+(each host mmaps only the chunks covering its own row range;
+``parallel/launch.py`` builds on it). ``tensorstore`` itself is not
+installable in this environment; if it becomes available, it can slot in
+underneath this module's save/load functions without touching any caller
+(the format API is the boundary — everything above reads logical arrays).
 """
 
 from __future__ import annotations
