@@ -192,9 +192,13 @@ class ColBERTConfig:
     # probes scale linearly with the mass. Measured knees: 141k random-weight
     # corpus at 131072 partitions (1.2% split mass, mostly 2-way splits) —
     # recall flat across nprobe 2..5 while QPS falls 21%, so 1 extra probe
-    # suffices; every heavy-split geometry (>=12.5% mass: 141k formula
-    # default, 1M trained at cap=1024/2048) keeps its full compensation at
-    # the 0.05 default. See device_index.probe_compensation.
+    # suffices; 141k TRAINED at planner partitions (26.5% mass, dup_max=4,
+    # round 5) — score@10 knee ALSO at 1 extra probe, the formula's full
+    # extra=3 buys only +0.002 @100 for ~11% QPS. Above the knee this knob
+    # trades depth@100 for QPS; the default stays recall-maximal (the
+    # audited quality-first point). Raise ``saturate`` (or let the
+    # autotuner pick an operating point) to recover the QPS per corpus.
+    # See device_index.probe_compensation.
     probe_comp_saturation: float = 0.05
 
     def __post_init__(self) -> None:

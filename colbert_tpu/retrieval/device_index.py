@@ -134,7 +134,17 @@ def probe_compensation(dup_max: int, split_mass: float,
     corpus in split cells warrants the full worst-case compensation (the
     heavy-split regimes every committed recall number was measured in keep
     their exact probe count; the 1.2% geometry gets 1 extra probe — its
-    measured recall knee)."""
+    measured recall knee).
+
+    Second-geometry calibration (round 5, SCALE.md): at 141k TRAINED
+    (dup_max=4, split_mass=0.265) the measured knee is ALSO extra=1
+    (score@10 1.000 from extra=1 on; @100 0.992 vs 0.994 at extra=3) while
+    this formula charges the full extra=3 (~11% QPS). The full compensation
+    buys only depth tail there — i.e. above the knee the formula is a
+    depth@100 knob, not a recall@10 one. The default stays recall-maximal
+    (quality-first is the audited lossless point); per-corpus,
+    ``config.probe_comp_saturation`` (or the autotuner, which sweeps real
+    operating points) recovers the QPS."""
     if dup_max <= 1 or split_mass <= 0.0:
         return 0
     return min(dup_max - 1,

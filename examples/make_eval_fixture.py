@@ -15,8 +15,8 @@ full real-data pipeline —
         /tmp/fx/qrels.txt --random-weights
 
 — runs end-to-end through the public entry points. When a checkpoint and
-MS MARCO are available, the SAME three commands minus ``--random-weights``
-(and with the real files) produce the north-star number. Reference
+MS MARCO are available, the SAME three commands minus the random-weights
+flag (and with the real files) produce the north-star number. Reference
 protocol being reproduced: examples/AIHelpMe/evals.jl:29-43 (index ->
 batched search -> hit-rate against known answers).
 """

@@ -32,8 +32,17 @@ def test_example_help_and_docstring_flags(script):
     # must not pass because --checkpoint exists)
     doc = ast.get_docstring(ast.parse(open(script).read())) or ""
     defined = set(re.findall(r"--[a-z][a-z0-9_-]+", r.stdout))
-    for flag in set(re.findall(r"--[a-z][a-z0-9_-]+", doc)):
+    this = os.path.basename(script)
+    # a docstring may quote a multi-script pipeline (make_eval_fixture.py's
+    # three-command drill): flags appearing ONLY on lines that invoke a
+    # DIFFERENT example script belong to that script's surface, not this one's
+    joined = re.sub(r"\\\n\s*", " ", doc)  # shell line continuations
+    own_lines = [
+        ln for ln in joined.splitlines()
+        if re.search(r"[a-z_]+\.py", ln) is None or this in ln
+    ]
+    for flag in set(re.findall(r"--[a-z][a-z0-9_-]+", "\n".join(own_lines))):
         assert flag in defined, (
-            f"{os.path.basename(script)} docstring advertises {flag} "
+            f"{this} docstring advertises {flag} "
             f"but --help does not list it (defined: {sorted(defined)})"
         )
