@@ -274,6 +274,48 @@ def main() -> None:
                     f"@100 {_recall(pids_np, oracle, 100):.3f} "
                     f"{qps_e:.1f} QPS")
 
+        if "depthsweep" in flags:
+            # depth@100 floor mapping (VERDICT r4/r5): at 1M the tuner's
+            # table shows score@100 monotone in ncand at fixed cap — this
+            # sweep extends the axis past the tuner grid (plus the
+            # selection-width and probe knobs) to show the floor is the
+            # STATIC candidate/selection budget, not a funnel defect, and
+            # to price each +0.0x of depth in ms/batch.
+            s.set_balance_cap(2048)
+            kw_d = dict(k=100, cell_cap=s.cell_cap,
+                        use_pallas=s._stage2_pallas)
+            np_c = s.device_index.compensated_nprobe(cfg.nprobe)
+            log(f"depth sweep at cap=2048 (compensated nprobe {np_c}, "
+                f"cell_cap {s.cell_cap})")
+            for ncand, maxc, npr in (
+                (4096, 8192, np_c),
+                (8192, 8192, np_c),
+                (8192, 16384, np_c),
+                (8192, 16384, np_c + 2),
+                (16384, 32768, np_c),
+            ):
+                p = dict(nprobe=npr, ncandidates=ncand,
+                         centroid_threshold=cfg.centroid_score_threshold,
+                         stage1_refine=True, max_candidates=maxc)
+                t0 = time.time()
+                pids_b, _ = s.device_index.search_Q_batch(Qe, **p, **kw_d)
+                pids_np = np.asarray(pids_b)
+                warm = time.time() - t0
+                best = float("inf")  # best-of-2 warm reps (tunnel stalls)
+                for _ in range(2):
+                    t0 = time.time()
+                    pids_b, _ = s.device_index.search_Q_batch(
+                        Qe, **p, **kw_d)
+                    np.asarray(pids_b)
+                    best = min(best, time.time() - t0)
+                log(f"depth sweep [ncand={ncand} maxcand={maxc} "
+                    f"nprobe={npr}]: set@10 {_recall(pids_np, oracle, 10):.3f} "
+                    f"score@10 {_score_recall(pids_np, oscores, 10):.3f} "
+                    f"set@100 {_recall(pids_np, oracle, 100):.3f} "
+                    f"{best * 1e3:.0f} ms/batch(B={Qe.shape[0]}) "
+                    f"(first incl. compile {warm:.1f}s)")
+            s.set_balance_cap(cfg.ivf_balance_cap)
+
         tune_report = None
         if "tune" in flags:
             # the one-command drill: does the autotuner pick a >=0.95
