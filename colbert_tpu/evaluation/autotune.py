@@ -6,8 +6,10 @@ config.jl:89's ``ncandidates`` is never read). The TPU build's staged
 funnel (probe -> stage-1 bound -> optional full-centroid refine ->
 stage-2 decompress+MaxSim) buys its ~20x serving speedup with quality
 knobs — ``nprobe``, ``plaid_stage2_docs`` (the stage-2 doc budget),
-``plaid_stage1_refine``, ``refine_width_factor``, and the build-side
-``ivf_balance_cap`` — whose right setting is corpus-dependent (SCALE.md
+``plaid_stage1_refine``, ``refine_width_factor``,
+``search_max_candidates`` (the selection/refine width — the binding
+depth@100 knob at scale), and the build-side ``ivf_balance_cap`` — whose
+right setting is corpus-dependent (SCALE.md
 measures opposite optima for 4k/141k/1M corpora, and the cap alone moved
 1M-trained score-recall@10 0.906 -> 0.956).
 
@@ -73,6 +75,9 @@ class OperatingPoint:
     ncandidates: int = 1024    # stage-2 doc budget (config.plaid_stage2_docs)
     stage1_refine: bool = True
     refine_width: int = 4      # config.refine_width_factor
+    max_candidates: int | None = None  # config.search_max_candidates override
+    # (the selection/refine width — SCALE.md's 1M depth sweep measured it as
+    # the binding depth@100 knob: 8192 -> 16384 moved set@100 0.846 -> 0.920)
 
     def label(self) -> str:
         parts = [f"ncand={self.ncandidates}",
@@ -81,18 +86,21 @@ class OperatingPoint:
             parts.append(f"rw={self.refine_width}")
         if self.nprobe_delta:
             parts.append(f"nprobe+{self.nprobe_delta}")
+        if self.max_candidates is not None:
+            parts.append(f"maxc={self.max_candidates}")
         return ", ".join(parts)
 
     def cost(self, *, nprobe: int, lq: int, cell_cap: int, max_doclen: int,
              max_candidates: int) -> float:
         """Analytic funnel work (relative units; see module docstring)."""
+        mc = self.max_candidates or max_candidates
+        nc = min(self.ncandidates, mc)
         entries = (nprobe + self.nprobe_delta) * lq * cell_cap
         refine_rows = (
-            min(self.refine_width * self.ncandidates, max_candidates)
-            * max_doclen
+            min(self.refine_width * nc, mc) * max_doclen
             if self.stage1_refine else 0
         )
-        stage2_rows = self.ncandidates * max_doclen
+        stage2_rows = nc * max_doclen
         return (_W_STAGE1_ENTRY * entries + _W_REFINE_ROW * refine_rows
                 + _W_STAGE2_ROW * stage2_rows)
 
@@ -107,6 +115,16 @@ _DEFAULT_GRID = (
     OperatingPoint(0, 1024, stage1_refine=True, refine_width=2),
     OperatingPoint(0, 1024, stage1_refine=True),
     OperatingPoint(0, 4096, stage1_refine=True),
+)
+
+# Appended to the default grid when a depth target is requested: depth@100
+# at scale is bound by the selection/refine width (search_max_candidates),
+# not the stage-2 budget — SCALE.md's 1M trained depth sweep: maxc 8192 ->
+# 16384 moves set@100 0.846 -> 0.920 at equal ncand, +2 probes -> 0.968.
+_DEPTH_GRID_EXTRA = (
+    OperatingPoint(0, 4096, stage1_refine=True, max_candidates=16384),
+    OperatingPoint(0, 8192, stage1_refine=True, max_candidates=16384),
+    OperatingPoint(2, 8192, stage1_refine=True, max_candidates=16384),
 )
 
 
@@ -139,6 +157,9 @@ class TuneResult:
         searcher.config.plaid_stage1_refine = p.stage1_refine
         searcher.config.refine_width_factor = p.refine_width
         searcher.config.nprobe = searcher.config.nprobe + p.nprobe_delta
+        if p.max_candidates is not None:
+            searcher.config.search_max_candidates = p.max_candidates
+            searcher.max_candidates = p.max_candidates
         if self.chosen.swept_cap and (
             searcher.config.ivf_balance_cap != self.chosen.balance_cap
         ):
@@ -180,12 +201,15 @@ def _sweep_point(searcher, p: OperatingPoint, *, Q, queries, k_run: int,
     if use_production:
         cfg = searcher.config
         saved = (cfg.plaid_stage2_docs, cfg.plaid_stage1_refine,
-                 cfg.nprobe, cfg.refine_width_factor)
+                 cfg.nprobe, cfg.refine_width_factor,
+                 searcher.max_candidates)
         try:
             cfg.plaid_stage2_docs = p.ncandidates
             cfg.plaid_stage1_refine = p.stage1_refine
             cfg.nprobe = cfg.nprobe + p.nprobe_delta
             cfg.refine_width_factor = p.refine_width
+            if p.max_candidates is not None:
+                searcher.max_candidates = p.max_candidates
             qs = list(queries)
             pids, _ = searcher.search_batch(qs, k_run)  # warm + recall pids
             ms = None
@@ -201,12 +225,15 @@ def _sweep_point(searcher, p: OperatingPoint, *, Q, queries, k_run: int,
             return np.asarray(pids), ms
         finally:
             (cfg.plaid_stage2_docs, cfg.plaid_stage1_refine,
-             cfg.nprobe, cfg.refine_width_factor) = saved
+             cfg.nprobe, cfg.refine_width_factor,
+             searcher.max_candidates) = saved
 
-    nc = min(p.ncandidates, searcher.max_candidates)
+    mc = p.max_candidates or searcher.max_candidates
+    nc = min(p.ncandidates, mc)
     kw = dict(k=k_run, nprobe=nprobe + p.nprobe_delta, ncandidates=nc,
               stage1_refine=p.stage1_refine, refine_width=p.refine_width,
               **search_kw)
+    kw["max_candidates"] = mc
     pids, _ = searcher.device_index.search_Q_batch(Q, **kw)
     ms = None
     if time_reps > 0:
@@ -284,6 +311,10 @@ def tune_operating_point(
         target_depth_recall = target_score_recall
     if target_depth_recall is not None and depth_k is None:
         depth_k = 100
+    if grid is _DEFAULT_GRID and depth_k is not None:
+        # depth targets need the selection-width axis (module comment on
+        # _DEPTH_GRID_EXTRA); custom grids are left untouched
+        grid = grid + _DEPTH_GRID_EXTRA
     k_run = max(k, depth_k) if depth_k is not None else k
 
     oscores = exhaustive_scores(searcher, Q)
@@ -368,11 +399,24 @@ def tune_operating_point(
         chosen = max(sorted(table, key=rank_key),
                      key=lambda t: (t.score_recall,
                                     t.depth_score_recall or 0.0))
-        logger.warning(
-            "no operating point reaches score-recall %.3f (best %.3f: %s) — "
-            "widen the grid or raise search_max_candidates",
-            target_score_recall, chosen.score_recall, chosen.point.label(),
-        )
+        best_k = max(t.score_recall for t in table)
+        if best_k >= target_score_recall and target_depth_recall is not None:
+            # @k is reachable — the DEPTH constraint is what failed
+            logger.warning(
+                "score-recall@%d %.3f is reachable (best %.3f) but no grid "
+                "point also meets score-recall@%d >= %.3f (best joint point "
+                "%s: %.3f / %.3f) — widen max_candidates / nprobe",
+                k, target_score_recall, best_k, depth_k, target_depth_recall,
+                chosen.point.label(), chosen.score_recall,
+                chosen.depth_score_recall or 0.0,
+            )
+        else:
+            logger.warning(
+                "no operating point reaches score-recall %.3f (best %.3f: %s)"
+                " — widen the grid or raise search_max_candidates",
+                target_score_recall, chosen.score_recall,
+                chosen.point.label(),
+            )
     return TuneResult(chosen=chosen, table=table,
                       target=target_score_recall, met_target=met,
                       depth_k=depth_k, depth_target=target_depth_recall)

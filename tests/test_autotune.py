@@ -230,6 +230,61 @@ def test_refine_width_point_in_grid(tuned_setup):
     assert "rw=" not in res.table[1].point.label()
 
 
+def test_max_candidates_point_label_cost_and_apply(tuned_setup):
+    """The selection-width override (the binding depth@100 knob at scale —
+    SCALE.md 1M depth sweep) labels, costs, sweeps, and persists."""
+    kw = dict(nprobe=4, lq=16, cell_cap=64, max_doclen=32,
+              max_candidates=4096)
+    base = OperatingPoint(0, 4096, stage1_refine=True)
+    wide = OperatingPoint(0, 4096, stage1_refine=True, max_candidates=16384)
+    assert "maxc=16384" in wide.label() and "maxc" not in base.label()
+    # wider selection width = more refine rows = higher analytic cost
+    assert wide.cost(**kw) > base.cost(**kw)
+
+    searcher, queries = tuned_setup
+    cfg = searcher.config
+    saved = (cfg.plaid_stage2_docs, cfg.plaid_stage1_refine, cfg.nprobe,
+             cfg.refine_width_factor, cfg.search_max_candidates,
+             searcher.max_candidates)
+    try:
+        point = OperatingPoint(0, 8, stage1_refine=True, max_candidates=128)
+        res = tune_operating_point(
+            searcher, queries, k=4, target_score_recall=0.0,
+            grid=(point,), time_reps=0,
+        )
+        assert res.chosen.point.max_candidates == 128
+        # the sweep itself must not leak the override into the live searcher
+        assert searcher.max_candidates == saved[5]
+        res.apply(searcher)
+        assert searcher.max_candidates == 128
+        assert cfg.search_max_candidates == 128
+        pids, _ = searcher.search_batch(queries, k=4)
+        assert (pids[:, 0] == np.arange(len(queries))).mean() == 1.0
+    finally:
+        (cfg.plaid_stage2_docs, cfg.plaid_stage1_refine, cfg.nprobe,
+         cfg.refine_width_factor, cfg.search_max_candidates,
+         searcher.max_candidates) = saved
+
+
+def test_depth_target_extends_default_grid(tuned_setup):
+    """A depth target on the DEFAULT grid adds the wide-selection points
+    (depth@100 at scale is bound by max_candidates, not ncandidates);
+    custom grids stay untouched (test_tune_depth_target)."""
+    import jax.numpy as jnp
+
+    searcher, queries = tuned_setup
+    Q = jnp.asarray(searcher.encoder.encode_queries(queries))
+    res = tune_operating_point(
+        searcher, Q=Q, k=4, target_score_recall=0.9,
+        time_reps=0, depth_k=8, target_depth_recall=0.9,
+    )
+    wide = [t for t in res.table if t.point.max_candidates is not None]
+    assert len(wide) == 3
+    assert all("maxc=16384" in t.point.label() for t in wide)
+    for t in wide:
+        assert t.depth_score_recall is not None
+
+
 def test_cost_model_orders_points_sanely():
     kw = dict(nprobe=4, lq=16, cell_cap=64, max_doclen=32, max_candidates=4096)
     cheap = OperatingPoint(0, 128, stage1_refine=False).cost(**kw)
